@@ -1,0 +1,37 @@
+"""kde_tpu -- a TPU-native kernel density estimation framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+JuliaRobotics/KernelDensityEstimate.jl: n-dimensional KDEs with LOOCV
+bandwidth selection, dense batched density evaluation and functionals,
+sampling/resampling/marginals, and approximate products of multiple KDEs via
+multiscale Gibbs sampling run as thousands of parallel chains.
+
+See SURVEY.md at the repo root for the reference's structure and the build
+plan; public names mirror the reference's export list
+(reference src/KernelDensityEstimate.jl:13-51).
+"""
+
+from .density import KDE, kde
+from .functionals import (
+    entropy, eval_avg_logl, get_kde_fit, get_kde_max, get_kde_mean,
+    get_kde_range, get_kde_range_linspace, inters_intg_appx_is, kld, minkld,
+)
+from .ops.sampling import rand_kde, resample, sample, sample_at
+from .serialization import from_string, load_kde, save_kde, to_string
+from .utils.random import set_seed
+from . import manifolds
+
+# Gibbs product engine (the reference's prodAppxMSGibbsS and `*`,
+# src/MSGibbs01.jl:632-736)
+from .ops.gibbs import prod_appx_ms_gibbs, product
+
+__all__ = [
+    "KDE", "kde",
+    "entropy", "eval_avg_logl", "kld", "minkld", "inters_intg_appx_is",
+    "get_kde_range", "get_kde_range_linspace", "get_kde_max", "get_kde_mean",
+    "get_kde_fit",
+    "sample", "sample_at", "rand_kde", "resample",
+    "to_string", "from_string", "save_kde", "load_kde",
+    "prod_appx_ms_gibbs", "product",
+    "set_seed", "manifolds",
+]

@@ -1,0 +1,211 @@
+"""The user-facing kernel density estimate container and constructors.
+
+Mirrors the reference's BallTreeDensity + kde! API surface
+(reference src/KDE01.jl, src/BallTreeDensity01.jl) on a TPU-native core:
+
+  * a ``KDE`` holds ``points [N, d]``, per-kernel variances ``bw [N, d]``,
+    and normalized ``weights [N]`` as JAX arrays in *original point order*
+    (no permutation to undo -- accessors are trivial, unlike
+    src/KDE01.jl:91-136 which must invert the tree permutation);
+  * the flat ball tree (ops/balltree.py) is built lazily on host, and is only
+    consumed by the Gibbs product engine's level schedule and the LOOCV
+    bracket -- never by evaluation, which is dense (ops/kernels.py);
+  * the public constructor ``kde(points, bw=None, weights=None)`` follows the
+    reference's conventions: ``points`` is ``[d, N]`` (column per point,
+    src/DualTree01.jl:429-430), ``bw`` is a std-dev that is squared into a
+    variance internally (src/KDE01.jl:45), scalars broadcast across dims
+    (src/KDE01.jl:41-43), and omitting ``bw`` triggers LOOCV bandwidth
+    selection (src/KDE01.jl:3-27).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import manifolds
+from .ops import kernels
+from .ops.balltree import FlatBallTree, build_balltree
+from .ops.loocv import ksize_bandwidths
+
+Array = jnp.ndarray
+
+
+class KDE:
+    """An n-dimensional Gaussian kernel density estimate.
+
+    Evaluation:  ``p(x) = sum_i w_i prod_k N(x_k; mu_ik, bw_ik)`` with ``bw``
+    stored as variances.  Instances are callable like the reference's
+    ``(bd::BallTreeDensity)(pos)`` (src/DualTree01.jl:431-446).
+    """
+
+    def __init__(self,
+                 points: Array,
+                 bw: Array,
+                 weights: Array,
+                 multibandwidth: bool = False,
+                 addop=None,
+                 diffop=None):
+        self.points = jnp.asarray(points)            # [N, d]
+        self.bw = jnp.asarray(bw)                    # [N, d] variances
+        self.weights = jnp.asarray(weights)          # [N], normalized
+        self.multibandwidth = bool(multibandwidth)
+        d = self.points.shape[1]
+        self.addop = manifolds.broadcast_ops(addop, d)
+        self.diffop = manifolds.broadcast_ops(diffop, d)
+        self._tree: Optional[FlatBallTree] = None
+
+    # ---- basic properties ---------------------------------------------------
+
+    @property
+    def npts(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def tree(self) -> FlatBallTree:
+        """Host-side flat ball tree (lazily built; see ops/balltree.py)."""
+        if self._tree is None:
+            bw = np.asarray(self.bw, dtype=np.float64)
+            self._tree = build_balltree(
+                np.asarray(self.points, dtype=np.float64),
+                np.asarray(self.weights, dtype=np.float64),
+                bw if self.multibandwidth else bw[0])
+        return self._tree
+
+    @property
+    def _eval_diffop(self):
+        if manifolds.is_euclidean(self.diffop, manifolds.euclid_diff):
+            return None
+        return self.diffop
+
+    # ---- accessors (reference src/KDE01.jl:91-136) --------------------------
+
+    def get_points(self) -> Array:
+        """Kernel centers, ``[d, N]`` (reference orientation)."""
+        return self.points.T
+
+    def get_bw(self) -> Array:
+        """Per-kernel bandwidths as *standard deviations*, ``[d, N]``
+        (the reference's getBW takes the sqrt, src/KDE01.jl:118)."""
+        return jnp.sqrt(self.bw).T
+
+    def get_weights(self) -> Array:
+        return self.weights
+
+    def marginal(self, dims: Sequence[int]) -> "KDE":
+        """Marginal KDE over the selected dims (reference src/KDE01.jl:143-153)."""
+        dims = list(dims)
+        sub = lambda ops: None if ops is None else tuple(ops[i] for i in dims)
+        return KDE(self.points[:, dims], self.bw[:, dims], self.weights,
+                   multibandwidth=self.multibandwidth,
+                   addop=sub(self.addop), diffop=sub(self.diffop))
+
+    # ---- evaluation ---------------------------------------------------------
+
+    def log_eval(self, pos, chunk: Optional[int] = None) -> Array:
+        """``log p`` at query positions ``pos`` (``[d, M]``, or ``[M]`` for 1-D
+        densities as in the reference's deprecated vector API,
+        src/DualTree01.jl:394-404)."""
+        q = _as_query(pos, self.ndim, self.points.dtype)
+        return kernels.log_eval(q, self.points, self.bw, self.weights,
+                                self._eval_diffop, chunk=chunk)
+
+    def evaluate(self, pos, lv_flag: bool = False, err_tol: float = 1e-3,
+                 chunk: Optional[int] = None) -> Array:
+        """Density values at ``pos``; with ``lv_flag`` evaluate leave-one-out
+        at the KDE's own points (reference evaluateDualTree,
+        src/DualTree01.jl:370-421).  ``err_tol`` is accepted for API
+        compatibility; dense evaluation is exact."""
+        del err_tol
+        if lv_flag:
+            return jnp.exp(kernels.log_eval_loo(
+                self.points, self.bw, self.weights, self._eval_diffop))
+        return jnp.exp(self.log_eval(pos, chunk=chunk))
+
+    __call__ = evaluate
+
+    # ---- operators ----------------------------------------------------------
+
+    def __mul__(self, other: "KDE") -> "KDE":
+        from .ops.gibbs import product   # local import: gibbs depends on density
+        return product([self, other])
+
+    def __repr__(self) -> str:
+        bws = np.round(np.asarray(jnp.sqrt(self.bw[0])), 6)
+        return (f"KDE:\n  dims: {self.ndim}\n  Npts: {self.npts}\n"
+                f"  bws:  {bws.tolist()}")
+
+
+def _as_query(pos, ndim: int, dtype) -> Array:
+    pos = jnp.asarray(pos, dtype=dtype)
+    if pos.ndim == 1:
+        if ndim != 1:
+            raise ValueError(
+                "vector query positions are only supported for 1-D densities "
+                "(one value per query point); pass a [d, M] matrix instead")
+        return pos[:, None]
+    if pos.shape[0] != ndim:
+        raise ValueError(f"query must be [d={ndim}, M], got {pos.shape}")
+    return pos.T
+
+
+def kde(points,
+        bw: Optional[Union[float, Sequence[float], np.ndarray]] = None,
+        weights: Optional[Sequence[float]] = None,
+        addop=None,
+        diffop=None,
+        dtype=None) -> KDE:
+    """Construct a KDE (the reference's ``kde!``, src/KDE01.jl:3-84).
+
+    Args:
+      points: ``[d, N]`` array (column per point) or ``[N]`` for 1-D data.
+      bw: bandwidth *standard deviations*: scalar (broadcast to all dims,
+        src/KDE01.jl:41-43), ``[d]`` per-dim, or ``[d, N]`` per-kernel.
+        ``None`` -> per-dim LOOCV selection (src/KDE01.jl:3-27).
+      weights: ``[N]`` kernel weights (normalized internally, src/KDE01.jl:46).
+      addop/diffop: per-dimension manifold hooks (length-1 broadcasts).
+      dtype: array dtype (default: float64 if enabled, else float32).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim == 1:
+        pts = pts[None, :]
+    d, n = pts.shape
+    pts_nd = pts.T                                   # [N, d]
+
+    if weights is None:
+        w = np.full(n, 1.0 / n)
+    else:
+        w = np.asarray(weights, dtype=np.float64).reshape(n)
+        w = w / w.sum()
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+    if bw is None:
+        # LOOCV bandwidth selection over all dims at once (ops/loocv.py)
+        bwds = ksize_bandwidths(pts_nd, w, dtype=dtype)
+        var = np.tile(np.asarray(bwds, dtype=np.float64) ** 2, (n, 1))
+        multibw = False
+    else:
+        bwa = np.asarray(bw, dtype=np.float64)
+        if bwa.ndim == 0 or bwa.size == 1:
+            bwa = np.full(d, float(np.ravel(bwa)[0]))
+        if bwa.ndim == 1:
+            var = np.tile(bwa.reshape(d) ** 2, (n, 1))
+            multibw = False
+        else:
+            var = (bwa.reshape(d, n) ** 2).T         # [N, d]
+            multibw = True
+
+    return KDE(jnp.asarray(pts_nd, dtype=dtype),
+               jnp.asarray(var, dtype=dtype),
+               jnp.asarray(w, dtype=dtype),
+               multibandwidth=multibw, addop=addop, diffop=diffop)

@@ -1,0 +1,145 @@
+"""Density functionals: average log-likelihood, entropy, KL divergence,
+overlap integrals and summary statistics.
+
+These are thin compositions over the dense evaluator (ops/kernels.py),
+mirroring reference src/DualTree01.jl:450-618.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import manifolds
+from .density import KDE, kde
+from .ops import kernels
+
+
+def eval_avg_logl(p1: KDE, p2: KDE) -> jnp.ndarray:
+    """``sum_j w2_j log p1(x2_j)`` -- the weighted average log-likelihood of
+    ``p1`` at ``p2``'s points (reference src/DualTree01.jl:450-470).  When
+    ``p1 is p2`` the evaluation is leave-one-out, exactly as the reference's
+    identity check `bd == locations` triggers LOO (src/DualTree01.jl:333)."""
+    if p1 is p2:
+        logp = kernels.log_eval_loo(p1.points, p1.bw, p1.weights,
+                                    p1._eval_diffop)
+    else:
+        logp = kernels.log_eval(p2.points, p1.points, p1.bw, p1.weights,
+                                p1._eval_diffop)
+    return kernels.eval_avg_logl_from_logp(logp, p2.weights)
+
+
+def entropy(p: KDE) -> jnp.ndarray:
+    """H(p) = -avg LOO log-likelihood (reference src/DualTree01.jl:505-508)."""
+    return -eval_avg_logl(p, p)
+
+
+def kld(p1: KDE, p2: KDE, method: str = "direct") -> jnp.ndarray:
+    """Approximate D_KL(p1 || p2) (reference src/DualTree01.jl:477-503).
+
+    ``direct``: evaluated at p1's own points (LOO for the p1 term).
+    ``unscented``: sigma-point augmented evaluation set -- each of the 2D+1
+    replicated blocks of p1's points is shifted by +/- one bandwidth std along
+    one dimension, following the reference's indexing (src/DualTree01.jl:494-499),
+    then a fresh LOOCV KDE is fit to the augmented set.
+    """
+    if method == "direct":
+        return eval_avg_logl(p1, p1) - eval_avg_logl(p2, p1)
+    if method == "unscented":
+        d, n = p1.ndim, p1.npts
+        pts = np.asarray(p1.get_points(), dtype=np.float64)       # [d, N]
+        bwstd = np.asarray(p1.get_bw(), dtype=np.float64)         # [d, N]
+        pts_e = np.tile(pts, (1, 2 * d + 1))
+        for i in range(d):
+            pts_e[i, i * n:(i + 1) * n] += bwstd[i, :]
+            pts_e[i, (2 * i + 1) * n:(2 * i + 2) * n] -= bwstd[i, :]
+        pe = kde(pts_e)
+        return eval_avg_logl(p1, pe) - eval_avg_logl(p2, pe)
+    raise ValueError(f"unknown kld method {method!r}")
+
+
+def minkld(p: KDE, q: KDE) -> jnp.ndarray:
+    """min(|kld(p,q)|, |kld(q,p)|) (reference src/DualTree01.jl:510)."""
+    return jnp.minimum(jnp.abs(kld(p, q)), jnp.abs(kld(q, p)))
+
+
+# ---- summary statistics (reference src/DualTree01.jl:512-578) ---------------
+
+def get_kde_range(p, extend: float = 0.1) -> np.ndarray:
+    """Point extent per dim, widened by ``extend`` -> ``[d, 2]``.  Accepts a
+    single KDE or a list (elementwise union, src/DualTree01.jl:540-550)."""
+    if isinstance(p, (list, tuple)):
+        rv = get_kde_range(p[0], extend)
+        for q in p[1:]:
+            r2 = get_kde_range(q, extend)
+            rv[:, 0] = np.minimum(rv[:, 0], r2[:, 0])
+            rv[:, 1] = np.maximum(rv[:, 1], r2[:, 1])
+        return rv
+    pts = np.asarray(p.get_points(), dtype=np.float64)            # [d, N]
+    addop = p.addop or (manifolds.euclid_add,) * p.ndim
+    diffop = p.diffop or (manifolds.euclid_diff,) * p.ndim
+    rv = np.empty((p.ndim, 2))
+    for i in range(p.ndim):
+        lo, hi = pts[i].min(), pts[i].max()
+        dr = extend * float(diffop[i](hi, lo))
+        rv[i, 0] = float(diffop[i](lo, dr))
+        rv[i, 1] = float(addop[i](hi, dr))
+    return rv
+
+
+def get_kde_range_linspace(p: KDE, extend: float = 0.1, n: int = 200) -> np.ndarray:
+    v = get_kde_range(p, extend)
+    return np.linspace(v[0, 0], v[0, 1], n)
+
+
+def get_kde_max(p: KDE, n: int = 200) -> np.ndarray:
+    """Per-dimension argmax of the marginal density over an ``n``-point grid
+    (reference src/DualTree01.jl:558-569)."""
+    out = np.empty(p.ndim)
+    for i in range(p.ndim):
+        mm = p.marginal([i])
+        x = get_kde_range_linspace(mm, extend=0.1, n=n)
+        y = np.asarray(mm.evaluate(x[None, :]))
+        out[i] = x[int(np.argmax(y))]
+    return out
+
+
+def get_kde_mean(p: KDE) -> np.ndarray:
+    return np.asarray(p.get_points(), dtype=np.float64).mean(axis=1)
+
+
+def get_kde_fit(p: KDE) -> Tuple[np.ndarray, np.ndarray]:
+    """MLE Gaussian fit to the points: (mean [d], cov [d, d])
+    (reference src/DualTree01.jl:575-578 fits an MvNormal)."""
+    pts = np.asarray(p.get_points(), dtype=np.float64)
+    mu = pts.mean(axis=1)
+    xc = pts - mu[:, None]
+    cov = xc @ xc.T / pts.shape[1]
+    return mu, cov
+
+
+def inters_intg_appx_is(p: KDE, q: KDE, n: int = 201) -> float:
+    """Approximate overlap integral ``int p(x) q(x) dx`` by grid quadrature,
+    dims <= 2 only (reference src/DualTree01.jl:581-618)."""
+    d = p.ndim
+    if d > 2:
+        raise NotImplementedError("intersIntgAppxIS supports dims <= 2 "
+                                  "(as in the reference, src/DualTree01.jl:615)")
+    grids = []
+    dx = []
+    for k in range(d):
+        g = get_kde_range_linspace(p.marginal([k]), extend=0.3, n=n)
+        grids.append(g)
+        dx.append(g[1] - g[0])
+    if d == 1:
+        xx = grids[0][None, :]
+        yy = np.asarray(p.evaluate(xx)) * np.asarray(q.evaluate(xx))
+        return float(yy.sum() * dx[0])
+    # 2-D: full tensor grid, evaluated densely in one batch
+    gx, gy = np.meshgrid(grids[0], grids[1], indexing="xy")
+    xx = np.stack([gx.ravel(), gy.ravel()])                       # [2, n*n]
+    yy = np.asarray(p.evaluate(xx, chunk=4096)) * np.asarray(
+        q.evaluate(xx, chunk=4096))
+    return float(yy.sum() * dx[0] * dx[1])

@@ -1,0 +1,397 @@
+"""Approximate products of KDEs via multiscale Gibbs sampling -- the
+TPU-native re-design of the reference's crown jewel, ``prodAppxMSGibbsS``
+(reference src/MSGibbs01.jl; algorithm: Ihler, Sudderth, Freeman & Willsky,
+"Efficient multiscale sampling from products of Gaussian mixtures", NIPS 2003).
+
+What the reference does (src/MSGibbs01.jl:527-629): for each output sample it
+walks all densities' ball trees coarse-to-fine; at each level it (1) draws a
+point X from the Gaussian product of the currently-selected kernels
+(``samplePoint!`` :440-463), (2) descends one tree level (``levelDown!``
+:500-523), (3) re-selects a kernel label per density conditioned on X
+(``sampleIndices!`` :364-385), then (4) runs ``Niter`` sweeps of sequential
+leave-one-out Gibbs over densities (``sampleIndex`` :404-429), each sweep
+evaluating every candidate kernel at the current level against the Gaussian
+product of the *other* densities' selections (``makeFasterSampleIndex!``
+:250-328, flagged "one of the bottlenecks" :247).  The reference generates
+its Np samples **serially** (:581) despite their statistical independence.
+
+TPU-first re-design:
+  * every output sample is an independent **chain**; all chains run the same
+    level schedule, so the engine is one ``vmap`` over chains;
+  * the tree walk is replaced by a **level-synchronous dense schedule**: the
+    per-level node sets (which are data-independent -- they depend only on
+    tree topology) are precomputed on host into dense padded arrays of
+    cluster (mean, variance, weight) per level, and every per-level operation
+    becomes a masked batched Gaussian evaluation + categorical draw;
+  * the data-dependent label remap of ``levelDown!`` (:512-513) becomes a
+    precomputed gather through ``down_map``;
+  * all randomness is pre-generated per chain (uniform and normal streams,
+    mirroring the reference's ``randU``/``randN`` buffers :661-662 and their
+    cursor discipline), so externally injected streams reproduce a serial
+    reference trace exactly ("replay mode", the reference's own
+    cross-implementation validation hook :691-695).
+
+Numerical guards reproduced from the reference: per-dimension NaN suppression
+(:302-304), degenerate fallback to a weight draw when every candidate has
+zero likelihood (:311-315), and partial-dimension information zeroing
+(:189-209).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import manifolds
+from ..density import KDE, kde
+from ..utils.random import ensure_key
+
+# ---------------------------------------------------------------------------
+# host-side precompute
+# ---------------------------------------------------------------------------
+
+class _ProductPlan:
+    """Dense, padded per-level arrays for a set of densities (host precompute)."""
+
+    def __init__(self, densities: Sequence[KDE], n_out: int, dtype):
+        self.ndens = len(densities)
+        dims = {d.ndim for d in densities}
+        if len(dims) != 1:
+            raise ValueError("kdes must have same dimension "
+                             "(reference src/MSGibbs01.jl:721)")
+        self.ndim = dims.pop()
+        npts = [d.npts for d in densities]
+        max_np = max([n_out] + npts)
+        # Nlevels = floor(log(maxNp)/log 2) + 1 (reference src/MSGibbs01.jl:660)
+        self.n_levels = int(math.floor(math.log(float(max_np)) / math.log(2.0)) + 1.0)
+
+        trees = [d.tree for d in densities]
+        two_n = 2 * max(npts)
+        dn, d = self.ndens, self.ndim
+        t_mean = np.zeros((dn, two_n, d))
+        t_bw = np.ones((dn, two_n, d))
+        t_wt = np.zeros((dn, two_n))
+        t_perm = np.zeros((dn, two_n), dtype=np.int64)
+        t_down = np.tile(np.arange(two_n), (dn, 1))
+        for j, t in enumerate(trees):
+            s = 2 * t.num_points
+            t_mean[j, :s] = t.means
+            t_bw[j, :s] = t.bandwidth
+            t_wt[j, :s] = t.weights
+            t_perm[j, :s] = t.permutation
+            t_down[j, :s] = t.down_map()
+
+        # per-level node lists, padded across densities
+        per_tree_lists = [t.level_lists(self.n_levels) for t in trees]
+        self.levels = []   # list of (nodes [dn, n_l], valid [dn, n_l])
+        for l in range(self.n_levels + 1):
+            n_l = max(len(per_tree_lists[j][l]) for j in range(dn))
+            nodes = np.zeros((dn, n_l), dtype=np.int64)
+            valid = np.zeros((dn, n_l), dtype=bool)
+            for j in range(dn):
+                lst = per_tree_lists[j][l]
+                nodes[j, :len(lst)] = lst
+                valid[j, :len(lst)] = True
+            self.levels.append((nodes, valid))
+
+        as_dev = lambda x, dt=dtype: jnp.asarray(x, dtype=dt)
+        self.t_mean = as_dev(t_mean)
+        self.t_bw = as_dev(t_bw)
+        self.t_wt = as_dev(t_wt)
+        self.t_perm = jnp.asarray(t_perm)
+        self.t_down = jnp.asarray(t_down)
+        # gathered per-level stats (device)
+        self.lvl = []
+        for nodes, valid in self.levels:
+            idx_j = np.arange(dn)[:, None]
+            self.lvl.append(dict(
+                nodes=jnp.asarray(nodes),
+                valid=jnp.asarray(valid),
+                mean=as_dev(t_mean[idx_j, nodes]),        # [dn, n_l, d]
+                bw=as_dev(t_bw[idx_j, nodes]),            # [dn, n_l, d]
+                logw=as_dev(np.log(np.maximum(t_wt[idx_j, nodes], 1e-300))
+                            + np.where(valid, 0.0, -np.inf)),  # [dn, n_l]
+            ))
+
+
+# ---------------------------------------------------------------------------
+# in-jit primitives
+# ---------------------------------------------------------------------------
+
+def _gauss_product(mu_sel, var_sel, mask, skip, get_mu, get_lambda):
+    """Information-form product of the selected kernels over densities
+    (reference gaussianProductMeanCov!, src/MSGibbs01.jl:176-216).
+
+    mu_sel/var_sel: [dn, d] selected kernel stats (zeroed at inactive dims);
+    mask: [dn, d] partial-dim mask; skip: density index to leave out (or -1).
+    Returns (mu [d], cov [d]) with zeros where no density contributes.
+    """
+    dn = mu_sel.shape[0]
+    contrib = mask & (jnp.arange(dn)[:, None] != skip)          # [dn, d]
+    lam = jnp.where(contrib & (var_sel > 0), 1.0 / jnp.where(var_sel > 0, var_sel, 1.0), 0.0)
+    has = jnp.any(contrib, axis=0)                              # [d]
+    if get_lambda is None:                                      # Euclidean fast path
+        lam_tot = jnp.sum(lam, axis=0)                          # [d]
+        cov = jnp.where(has, 1.0 / jnp.where(has, lam_tot, 1.0), 0.0)
+        mu = cov * jnp.sum(lam * mu_sel, axis=0)
+    else:
+        covs, mus = [], []
+        for k in range(mu_sel.shape[1]):
+            lt = get_lambda[k](lam[:, k], axis=0)
+            c = jnp.where(has[k], 1.0 / jnp.where(has[k], lt, 1.0), 0.0)
+            covs.append(c)
+            mus.append(jnp.where(has[k],
+                                 get_mu[k](mu_sel[:, k], lam[:, k], c, axis=0),
+                                 0.0))
+        cov = jnp.stack(covs)
+        mu = jnp.stack(mus)
+    return mu, cov
+
+
+def _kernel_logits(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
+                   diffop, with_cov: bool):
+    """Log-likelihood of each candidate kernel at the current level against a
+    Gaussian with mean ``mu`` and (optionally) covariance ``cov``
+    (reference makeFasterSampleIndex!, src/MSGibbs01.jl:250-328).
+
+    lvl_*_j: [n_l, d] / [n_l]; mu/cov: [d]; active_dim: [d].
+    """
+    c = lvl_bw_j + (cov[None, :] if with_cov else 0.0)          # [n_l, d]
+    if diffop is None:
+        delta = lvl_mean_j - mu[None, :]
+    else:
+        delta = jnp.stack([diffop[k](lvl_mean_j[:, k], mu[k])
+                           for k in range(lvl_mean_j.shape[1])], axis=1)
+    per_dim = delta * delta / c + jnp.log(c)                    # [n_l, d]
+    # NaN suppression per dim (reference :302-304) + partial-dim skip (:281-285)
+    per_dim = jnp.where(jnp.isnan(per_dim) | ~active_dim[None, :], 0.0, per_dim)
+    logits = lvl_logw_j - 0.5 * jnp.sum(per_dim, axis=1)        # [n_l]
+    logits = jnp.where(jnp.isnan(logits), -jnp.inf, logits)
+    # degenerate fallback: all-zero likelihood -> draw from weights alone
+    # (reference :311-315 resets to a uniform-per-node weight)
+    dead = jnp.all(jnp.isneginf(logits) | jnp.isneginf(lvl_logw_j))
+    return jnp.where(dead, jnp.where(jnp.isneginf(lvl_logw_j), -jnp.inf, 0.0),
+                     logits)
+
+
+def _select_label(u, logits):
+    """Inverse-CDF draw matching the reference's scan (selectLabelOnLevel,
+    src/MSGibbs01.jl:330-351): first index whose CDF reaches ``u``."""
+    p = jax.nn.softmax(logits)
+    cdf = jnp.cumsum(p)
+    z = jnp.searchsorted(cdf, u, side="left")
+    return jnp.clip(z, 0, logits.shape[0] - 1)
+
+
+# ---------------------------------------------------------------------------
+# the chain kernel
+# ---------------------------------------------------------------------------
+
+def _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down, t_perm,
+               mask, n_iter, ndens, ndim, n_levels,
+               addop, diffop, get_mu, get_lambda, add_entropy):
+    """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
+    chain's pre-generated uniform/normal streams, laid out in the reference's
+    consumption order (see module docstring)."""
+    f = t_mean.dtype
+
+    # [dn, d]: OR of the *other* densities' masks (the LOO dimmask of
+    # makeFasterSampleIndex!, reference src/MSGibbs01.jl:270-275)
+    union_other = jnp.stack([jnp.any(mask.at[j].set(False), axis=0)
+                             for j in range(ndens)])
+
+    def gather_sel(ind):
+        """particles/variance for current labels, zeroed at inactive dims
+        (updateGlbParticlesVariance!, reference src/MSGibbs01.jl:89-107)."""
+        mu = t_mean[jnp.arange(ndens), ind]                     # [dn, d]
+        var = t_bw[jnp.arange(ndens), ind]
+        return jnp.where(mask, mu, 0.0), jnp.where(mask, var, 0.0)
+
+    def sample_point(mu_sel, var_sel, normals, jitter):
+        mu, cov = _gauss_product(mu_sel, var_sel, mask, -1, get_mu, get_lambda)
+        step = jnp.sqrt(cov) * normals
+        if addop is None:
+            x = mu + step
+        else:
+            x = jnp.stack([addop[k](mu[k], step[k]) for k in range(ndim)])
+        return jnp.where(jitter, x, mu)
+
+    # stream cursors (static layout)
+    #   uniforms: [ndens init] ++ per level ([ndens cond] ++ [n_iter*ndens gibbs])
+    #   normals:  [(n_levels+1) * ndim]
+    u_cond = u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)[:, :ndens]
+    u_gibbs = (u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)
+               [:, ndens:].reshape(n_levels, n_iter, ndens))
+    normals = n_row.reshape(n_levels + 1, ndim)
+
+    ind = jnp.zeros(ndens, dtype=jnp.int32)                     # all roots
+    mu_sel, var_sel = gather_sel(ind)
+    x = jnp.zeros(ndim, dtype=f)
+    labels_rec = []
+
+    for l in range(1, n_levels + 1):
+        lvl = plan_lvl[l]
+        # (1) draw X from the product of current selections (:594)
+        x = sample_point(mu_sel, var_sel, normals[l - 1], True)
+        # (2) descend one level (:597)
+        ind = t_down[jnp.arange(ndens), ind].astype(jnp.int32)
+        # (3) re-select labels conditioned on X -- independent across
+        #     densities (sampleIndices!, :600; no LOO, no product covariance)
+        def cond_one(j):
+            act = mask[j] & union_other[j]
+            logits = _kernel_logits(lvl["mean"][j], lvl["bw"][j],
+                                    lvl["logw"][j], x, None, act,
+                                    diffop, with_cov=False)
+            return _select_label(u_cond[l - 1, j], logits)
+        zs = jnp.stack([cond_one(j) for j in range(ndens)])
+        ind = lvl["nodes"][jnp.arange(ndens), zs].astype(jnp.int32)
+        mu_sel, var_sel = gather_sel(ind)
+
+        # (4) Niter sweeps of sequential LOO Gibbs over densities (:604-608)
+        def sweep(t, carry):
+            ind, mu_sel, var_sel = carry
+            def upd(j, carry):
+                ind, mu_sel, var_sel = carry
+                mu, cov = _gauss_product(mu_sel, var_sel, mask, j,
+                                         get_mu, get_lambda)
+                act = mask[j] & union_other[j]
+                logits = _kernel_logits(lvl["mean"][j], lvl["bw"][j],
+                                        lvl["logw"][j], mu, cov, act,
+                                        diffop, with_cov=True)
+                z = _select_label(u_gibbs[l - 1, t, j], logits)
+                node = lvl["nodes"][j, z].astype(jnp.int32)
+                ind = ind.at[j].set(node)
+                nm = jnp.where(mask[j], t_mean[j, node], 0.0)
+                nv = jnp.where(mask[j], t_bw[j, node], 0.0)
+                return ind, mu_sel.at[j].set(nm), var_sel.at[j].set(nv)
+            for j in range(ndens):
+                carry = upd(j, (ind, mu_sel, var_sel))
+                ind, mu_sel, var_sel = carry
+            return ind, mu_sel, var_sel
+        ind, mu_sel, var_sel = jax.lax.fori_loop(
+            0, n_iter, sweep, (ind, mu_sel, var_sel))
+        labels_rec.append(t_perm[jnp.arange(ndens), ind])
+
+    # final labels + final draw (:612-625)
+    final_idx = t_perm[jnp.arange(ndens), ind]
+    x = sample_point(mu_sel, var_sel, normals[n_levels], add_entropy)
+    return x, final_idx, jnp.stack(labels_rec)                  # [d],[dn],[L,dn]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def prod_appx_ms_gibbs(npd0,
+                       densities: Sequence[KDE],
+                       an_fcns=None,
+                       an_params=None,
+                       n_iter: int = 3,
+                       addop=None,
+                       diffop=None,
+                       get_mu=None,
+                       get_lambda=None,
+                       add_entropy: bool = True,
+                       partial_dim_mask: Optional[Sequence] = None,
+                       rand_u: Optional[np.ndarray] = None,
+                       rand_n: Optional[np.ndarray] = None,
+                       record_labels: bool = False,
+                       key=None,
+                       dtype=None):
+    """Draw samples from (an approximation of) the product of ``densities``.
+
+    Mirrors the reference ``prodAppxMSGibbsS`` (src/MSGibbs01.jl:645-703):
+
+    Args:
+      npd0: output sizing -- a KDE whose ``npts`` is the number of samples
+        (reference convention), or an int sample count directly.
+      densities: the KDEs to multiply.
+      an_fcns/an_params: accepted for API compatibility (the reference also
+        ignores them, src/MSGibbs01.jl:678).
+      n_iter: Gibbs sweeps per level (reference Niter).
+      addop/diffop/get_mu/get_lambda: per-dim manifold hooks.
+      add_entropy: if False, each output is the product-Gaussian *mean* of
+        the selected kernels (deterministic given labels, :455-459).
+      partial_dim_mask: ``[ndens][d]`` booleans -- dims each density carries
+        information on (:663).
+      rand_u/rand_n: optional injected random streams in the reference's
+        consumption order ("replay mode", see :691-695); otherwise ``key``.
+      record_labels: also return per-level label choices
+        (``labelsChoosen``, :109-112).
+
+    Returns ``(points [d, Np], indices [ndens, Np])`` -- 0-based kernel
+    labels -- plus ``labels [Np, ndens, n_levels]`` if ``record_labels``.
+    """
+    n_out = npd0 if isinstance(npd0, int) else npd0.npts
+    if dtype is None:
+        dtype = densities[0].points.dtype
+    plan = _ProductPlan(densities, n_out, dtype)
+    dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
+
+    if partial_dim_mask is None:
+        mask = jnp.ones((dn, d), dtype=bool)
+    else:
+        mask = jnp.asarray(np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d))
+
+    addop_t = manifolds.broadcast_ops(addop, d)
+    diffop_t = manifolds.broadcast_ops(diffop, d)
+    get_mu_t = manifolds.broadcast_ops(get_mu, d)
+    get_lambda_t = manifolds.broadcast_ops(get_lambda, d)
+    if manifolds.is_euclidean(addop_t, manifolds.euclid_add):
+        addop_t = None
+    if manifolds.is_euclidean(diffop_t, manifolds.euclid_diff):
+        diffop_t = None
+    if manifolds.is_euclidean(get_lambda_t, manifolds.euclid_lambda) and \
+       manifolds.is_euclidean(get_mu_t, manifolds.euclid_mu):
+        get_mu_t = get_lambda_t = None
+
+    bu = dn * (1 + n_levels * (1 + n_iter))
+    bn = d * (n_levels + 1)
+    if rand_u is not None:
+        # replay mode: streams may be over-allocated (the reference sizes
+        # randU at Np*Ndens*(Niter+2)*Nlevels, src/MSGibbs01.jl:661); only the
+        # first n_out*bu / n_out*bn draws are consumed, contiguously.
+        u = jnp.asarray(np.asarray(rand_u, dtype=np.float64)
+                        .ravel()[:n_out * bu].reshape(n_out, bu), dtype=dtype)
+        n_ = jnp.asarray(np.asarray(rand_n, dtype=np.float64)
+                         .ravel()[:n_out * bn].reshape(n_out, bn), dtype=dtype)
+    else:
+        key = ensure_key(key)
+        ku, kn = jax.random.split(key)
+        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
+        n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
+
+    chain = functools.partial(
+        _run_chain,
+        plan_lvl=plan.lvl, t_mean=plan.t_mean, t_bw=plan.t_bw,
+        t_down=plan.t_down, t_perm=plan.t_perm, mask=mask,
+        n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
+        addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
+        get_lambda=get_lambda_t, add_entropy=add_entropy)
+    pts, idx, labels = jax.jit(jax.vmap(chain))(u, n_)
+
+    out = (pts.T, idx.T)                                        # [d,Np], [dn,Np]
+    if record_labels:
+        out = out + (jnp.transpose(labels, (0, 2, 1)),)         # [Np, dn, L]
+    return out
+
+
+def product(densities: Sequence[KDE],
+            add_entropy: bool = True,
+            key=None) -> KDE:
+    """The ``*`` operator: Gibbs product with Niter=5 sized at the mean
+    component count, followed by an LOOCV refit of the samples
+    (reference src/MSGibbs01.jl:707-736)."""
+    densities = list(densities)
+    if len(densities) == 1 and not add_entropy:
+        # reference's #70 short-circuit (src/MSGibbs01.jl:712-716)
+        return kde(densities[0].get_points())
+    n_out = int(round(float(np.mean([p.npts for p in densities]))))
+    pts, _ = prod_appx_ms_gibbs(n_out, densities, n_iter=5,
+                                add_entropy=add_entropy, key=key)
+    return kde(pts)

@@ -1,0 +1,168 @@
+"""Dense batched Gaussian-mixture evaluation -- the TPU-native replacement for
+the reference's dual-tree engine.
+
+The reference evaluates a KDE by recursing over a pair of ball trees with
+kernel bounds (reference src/DualTree01.jl:248-299) -- and then ships with the
+pruning disabled (`FORCE_EVAL_DIRECT = true`,
+reference src/KernelDensityEstimate.jl:54), so in practice every evaluation is
+the brute-force direct loop `evalDirect` (src/DualTree01.jl:130-162).  On TPU
+the right design is a *dense* batched kernel: the pairwise diagonal-Gaussian
+log-likelihood matrix decomposes into three matmuls that run on the MXU,
+
+    sum_k (q_mk - mu_nk)^2 / s_nk + log s_nk
+      =  (q^2) @ (1/s)^T  -  2 q @ (mu/s)^T  +  [sum_k mu^2/s + log s]_n ,
+
+followed by a weighted log-sum-exp over components.  This is exact (no
+``errTol`` pruning needed) and maps the whole O(M·N·d) computation onto the
+systolic array.  Log-space arithmetic subsumes the reference's numerical
+guards (zero-likelihood handling, src/DualTree01.jl:461-468).
+
+Leave-one-out evaluation (used by LOOCV bandwidth selection and entropy) masks
+the diagonal and rescales by 1/(1-w_j), matching src/DualTree01.jl:333-336.
+
+For non-Euclidean manifolds a per-dimension ``diffop`` path replaces the
+matmuls with broadcast differences (d is small, so this stays VPU-friendly).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def pairwise_quad(query: jnp.ndarray,
+                  means: jnp.ndarray,
+                  var: jnp.ndarray,
+                  diffop: Optional[Sequence[Callable]] = None) -> jnp.ndarray:
+    """``[M, N]`` matrix of ``sum_k (diff(q_mk, mu_nk)^2 / var_nk + log var_nk)``.
+
+    Args:
+      query: ``[M, d]`` evaluation points.
+      means: ``[N, d]`` kernel centers.
+      var:   ``[N, d]`` kernel variances (bandwidth^2).
+      diffop: optional per-dim difference callables; ``None`` -> Euclidean
+        (MXU matmul fast path).
+    """
+    dtype = jnp.result_type(query.dtype, means.dtype)
+    logdet = jnp.sum(jnp.log(var), axis=1)          # [N]
+    if diffop is None:
+        inv = 1.0 / var                             # [N, d]
+        a = jnp.dot(query * query, inv.T, preferred_element_type=dtype)
+        b = jnp.dot(query, (means * inv).T, preferred_element_type=dtype)
+        c = jnp.sum(means * means * inv, axis=1)    # [N]
+        return a - 2.0 * b + (c + logdet)[None, :]
+    # manifold path: per-dim broadcast differences (d small & static)
+    quad = logdet[None, :]
+    for k, op in enumerate(diffop):
+        delta = op(query[:, k:k + 1], means[None, :, k])  # [M, N]
+        quad = quad + delta * delta / var[None, :, k]
+    return quad
+
+
+def log_gauss_mixture(query: jnp.ndarray,
+                      means: jnp.ndarray,
+                      var: jnp.ndarray,
+                      log_weights: jnp.ndarray,
+                      diffop: Optional[Sequence[Callable]] = None,
+                      exclude: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Log-density of a diagonal-Gaussian mixture at ``query`` points.
+
+    log p(x_m) = logsumexp_n [ log w_n - 0.5 * quad_mn ] - (d/2) log 2pi
+
+    ``exclude``: optional ``[M]`` int array; component ``exclude[m]`` is masked
+    out of query ``m``'s sum (leave-one-out).
+    """
+    d = query.shape[1]
+    quad = pairwise_quad(query, means, var, diffop)
+    logits = log_weights[None, :] - 0.5 * quad                   # [M, N]
+    if exclude is not None:
+        n = means.shape[0]
+        mask = exclude[:, None] == jnp.arange(n)[None, :]
+        logits = jnp.where(mask, -jnp.inf, logits)
+    return jax.scipy.special.logsumexp(logits, axis=1) - 0.5 * d * LOG_2PI
+
+
+def log_eval(query: jnp.ndarray,
+             means: jnp.ndarray,
+             var: jnp.ndarray,
+             weights: jnp.ndarray,
+             diffop: Optional[Sequence[Callable]] = None,
+             chunk: Optional[int] = None) -> jnp.ndarray:
+    """``log p(x)`` for each query row.  ``chunk``: process queries in blocks
+    of this size via ``lax.map`` to bound the [chunk, N] working set in HBM
+    (for very large M*N; the Pallas kernel in ops/pallas_eval.py goes further
+    and tiles N as well)."""
+    logw = jnp.log(weights)
+    if chunk is None or query.shape[0] <= chunk:
+        return log_gauss_mixture(query, means, var, logw, diffop)
+    m = query.shape[0]
+    pad = (-m) % chunk
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, chunk, query.shape[1])
+    out = jax.lax.map(
+        lambda qc: log_gauss_mixture(qc, means, var, logw, diffop), q)
+    return out.reshape(-1)[:m]
+
+
+def log_eval_loo(points: jnp.ndarray,
+                 var: jnp.ndarray,
+                 weights: jnp.ndarray,
+                 diffop: Optional[Sequence[Callable]] = None) -> jnp.ndarray:
+    """Leave-one-out log-density of a KDE at its own kernel centers:
+    ``log p_-j(x_j) = log( sum_{i != j} w_i K(x_j; x_i) / (1 - w_j) )``
+    (reference src/DualTree01.jl:146,222-227,333-336)."""
+    n = points.shape[0]
+    logw = jnp.log(weights)
+    lp = log_gauss_mixture(points, points, var, logw, diffop,
+                           exclude=jnp.arange(n))
+    return lp - jnp.log1p(-weights)
+
+
+def eval_avg_logl_from_logp(logp: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted average log-likelihood with the reference's zero-likelihood
+    guard (src/DualTree01.jl:461-468): a zero-weight query with p==0
+    contributes nothing; a positive-weight query with p==0 makes the result
+    -inf.  In log space "p==0" is ``logp == -inf``."""
+    safe = jnp.where(weights > 0, logp, 0.0)
+    ll = jnp.sum(jnp.where(weights > 0, weights * safe, 0.0))
+    bad = jnp.any(jnp.isneginf(logp) & (weights > 0))
+    return jnp.where(bad, -jnp.inf, ll)
+
+
+@functools.partial(jax.jit, static_argnames=("diffop",))
+def entropy_kernel(points: jnp.ndarray,
+                   var: jnp.ndarray,
+                   weights: jnp.ndarray,
+                   diffop=None) -> jnp.ndarray:
+    """H = - sum_j w_j log p_-j(x_j)  (reference src/DualTree01.jl:505-508)."""
+    logp = log_eval_loo(points, var, weights, diffop)
+    return -eval_avg_logl_from_logp(logp, weights)
+
+
+@functools.partial(jax.jit, static_argnames=("diffop",))
+def batched_loo_entropy(points: jnp.ndarray,
+                        var_scale: jnp.ndarray,
+                        base_var: jnp.ndarray,
+                        weights: jnp.ndarray,
+                        diffop=None) -> jnp.ndarray:
+    """Entropy of ``d`` independent 1-D KDEs, batched -- the LOOCV inner loop
+    run for all marginals at once (the reference runs a serial per-dimension
+    loop, src/KDE01.jl:16-23).
+
+    Args:
+      points: ``[d, N]`` -- row i holds the 1-D marginal data for dim i.
+      var_scale: ``[d]`` multiplicative variance scale (golden-search alpha^2).
+      base_var: ``[d]`` base variances.
+      weights: ``[N]`` shared weights.
+    Returns ``[d]`` entropies.
+    """
+    def one(p_row, s, b):
+        v = jnp.full((p_row.shape[0], 1), s * b, dtype=p_row.dtype)
+        return entropy_kernel(p_row[:, None], v, weights, diffop)
+    return jax.vmap(one)(points, var_scale, base_var)

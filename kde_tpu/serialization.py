@@ -1,0 +1,58 @@
+"""Serialization: reference-compatible strings and array checkpoints.
+
+String format (reference src/StringSerialization.jl:1-26):
+``KDE:<N>:[bw1, bw2, ...]:[r11 r12 ...; r21 r22 ...]`` -- bandwidths are the
+per-dim std-devs, points are printed row-per-dim with ';' separating dims,
+matching Julia's matrix printing so strings round-trip with the reference.
+Single-bandwidth only (same limitation, src/StringSerialization.jl:2).
+
+Array checkpoints: a KDE is fully determined by (points, bandwidth, weights)
+(SURVEY §5 checkpoint note), saved as an ``.npz``.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+
+import numpy as np
+
+from .density import KDE, kde
+
+
+def to_string(p: KDE) -> str:
+    pts = np.asarray(p.get_points(), dtype=np.float64)
+    bw = np.asarray(p.get_bw(), dtype=np.float64)[:, 0]
+    bw_s = "[" + ", ".join(repr(float(v)) for v in bw) + "]"
+    rows = "; ".join(" ".join(repr(float(v)) for v in row) for row in pts)
+    return f"KDE:{pts.shape[1]}:{bw_s}:[{rows}]"
+
+
+def from_string(s: str) -> KDE:
+    if not s.startswith("KDE:"):
+        raise ValueError("not a serialized KDE string")
+    parts = s.split(":")
+    n = int(parts[1])
+    bw = np.array([float(x) for x in parts[2].strip("[] ").split(",")])
+    body = parts[3].strip()[1:-1]
+    rows = [r.strip() for r in body.split(";")]
+    if len(rows) != bw.size:
+        raise ValueError("dims mismatch between bandwidth and points")
+    pts = np.array([[float(x) for x in re.split(r"\s+", r) if x] for r in rows])
+    if pts.shape != (bw.size, n):
+        raise ValueError(f"expected [{bw.size}, {n}] points, got {pts.shape}")
+    return kde(pts, bw)
+
+
+def save_kde(path: str, p: KDE) -> None:
+    np.savez(path,
+             points=np.asarray(p.points),
+             bw=np.asarray(p.bw),
+             weights=np.asarray(p.weights),
+             multibandwidth=np.asarray(p.multibandwidth))
+
+
+def load_kde(path: str) -> KDE:
+    z = np.load(path)
+    return KDE(z["points"], z["bw"], z["weights"],
+               multibandwidth=bool(z["multibandwidth"]))

@@ -1,0 +1,87 @@
+"""Density functionals: entropy/KLD/overlap integrals/summary stats.
+
+The overlap-integral brackets mirror the reference's integralAppxUnitTests
+(test/runtests.jl:203-223).
+"""
+import numpy as np
+
+from kde_tpu import (entropy, eval_avg_logl, get_kde_fit, get_kde_max,
+                     get_kde_mean, get_kde_range, inters_intg_appx_is, kde,
+                     kld, minkld, set_seed)
+
+
+def test_eval_avg_logl_self_is_loo():
+    rng = np.random.default_rng(0)
+    p = kde(rng.normal(size=(1, 50)), [0.5])
+    h = float(entropy(p))
+    assert np.isfinite(h)
+    # entropy == -eval_avg_logl(p, p) by definition
+    np.testing.assert_allclose(h, -float(eval_avg_logl(p, p)), rtol=1e-12)
+
+
+def test_kld_direct_properties():
+    rng = np.random.default_rng(1)
+    a = kde(rng.normal(size=(1, 150)), [0.4])
+    b = kde(rng.normal(size=(1, 150)) + 3.0, [0.4])
+    # same distribution -> small, shifted -> large
+    near = float(kld(a, kde(rng.normal(size=(1, 150)), [0.4])))
+    far = float(kld(a, b))
+    assert far > near
+    assert far > 1.0
+    m = float(minkld(a, b))
+    assert m <= abs(far) + 1e-9
+
+
+def test_kld_unscented_runs():
+    rng = np.random.default_rng(2)
+    a = kde(rng.normal(size=(2, 60)))
+    b = kde(rng.normal(size=(2, 60)) + 1.0)
+    v = float(kld(a, b, method="unscented"))
+    assert np.isfinite(v)
+
+
+def test_overlap_integral_brackets():
+    """reference test/runtests.jl:211-223: overlap of offset standard
+    normals falls in coarse brackets."""
+    set_seed(7)
+    rng = np.random.default_rng(3)
+
+    def overlap(offs, dim, n=201):
+        p = kde(rng.normal(size=(dim, 100)))
+        pts = rng.normal(size=(dim, 150))
+        pts[0, :] += offs
+        q = kde(pts)
+        return inters_intg_appx_is(p, q, n=n)
+
+    a = overlap(0.0, 1)
+    assert 0.2 < a < 0.35
+    a = overlap(1.0, 1, n=1000)
+    assert 0.1 < a < 0.3
+    a = overlap(-2.0, 1, n=1000)
+    assert 0.01 < a < 0.17
+    a = overlap(0.0, 2)
+    assert 0.05 < a < 0.15
+
+
+def test_summary_stats():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(2, 400)) * np.array([[1.0], [2.0]]) + np.array(
+        [[1.0], [-1.0]])
+    p = kde(pts, [0.3, 0.5])
+    rv = get_kde_range(p)
+    assert rv.shape == (2, 2)
+    assert np.all(rv[:, 0] < rv[:, 1])
+    mx = get_kde_max(p)
+    np.testing.assert_allclose(mx, [1.0, -1.0], atol=0.6)
+    mu = get_kde_mean(p)
+    np.testing.assert_allclose(mu, [1.0, -1.0], atol=0.3)
+    fmu, fcov = get_kde_fit(p)
+    np.testing.assert_allclose(fmu, mu, rtol=1e-12)
+    np.testing.assert_allclose(np.sqrt(np.diag(fcov)), [1.0, 2.0], rtol=0.2)
+
+
+def test_get_kde_range_list():
+    a = kde(np.array([[0.0, 1.0]]), [0.1])
+    b = kde(np.array([[5.0, 6.0]]), [0.1])
+    rv = get_kde_range([a, b])
+    assert rv[0, 0] < 0.0 and rv[0, 1] > 6.0

@@ -1,0 +1,65 @@
+"""LOOCV bandwidth selection parity.
+
+The heavyweight check is the reference's UnitTest1Dlcv01
+(test/runtests.jl:104-116): fit `kde!` with LOOCV on the 100-point 1-D
+fixture and compare the *entire resulting tree* against the golden dump
+(which pins the selected bandwidth through the `bandwidth` arrays).
+"""
+import numpy as np
+import pytest
+
+from fixtures import load_fixture, load_points
+from kde_tpu import kde
+from kde_tpu.ops.loocv import golden_batched, ksize_bandwidths
+
+
+def test_golden_section_matches_scalar_quadratic():
+    # independent quadratic minima per element
+    targets = np.array([0.3, 0.7, 1.2])
+    f = lambda x: (x - targets) ** 2
+    xmin, fmin = golden_batched(f, np.full(3, 0.01), np.full(3, 0.5),
+                                np.full(3, 2.0), 1e-4)
+    np.testing.assert_allclose(xmin, targets, atol=2e-3)
+
+
+def test_lcv_1d_golden_fixture():
+    """reference test/runtests.jl:104-116 (UnitTest1Dlcv01), tol 1e-4."""
+    x = load_points("test1Dlcv100.txt")            # [100]
+    p = kde(x)                                      # LOOCV fit
+    fx = load_fixture("test1Dlcv100Result.txt")
+    tree = p.tree
+    np.testing.assert_allclose(tree.centers.reshape(-1), fx["centers"],
+                               atol=1e-4)
+    np.testing.assert_allclose(tree.means.reshape(-1), fx["means"], atol=1e-4)
+    np.testing.assert_allclose(tree.bandwidth.reshape(-1), fx["bandwidth"],
+                               atol=1e-4)
+    np.testing.assert_allclose(tree.weights, fx["weights"], atol=1e-6)
+    np.testing.assert_array_equal(tree.left, fx["left_child"].astype(int))
+    np.testing.assert_array_equal(tree.right, fx["right_child"].astype(int))
+    np.testing.assert_array_equal(tree.permutation[100:],
+                                  fx["permutation"][100:].astype(int))
+
+
+def test_lcv_2d_golden_fixture():
+    """The reference *disables* its 2-D LOOCV golden tests
+    (test/runtests.jl:236,238).  We still check the selected bandwidths are
+    close to the golden dump's leaf bandwidths (looser tol)."""
+    x = load_points("test2Dlcv100.txt")             # [100, 2]
+    p = kde(x.T)
+    fx = load_fixture("test2Dlcv100Result.txt")
+    got_var = np.asarray(p.bw[0])                    # [2] selected variances
+    want_var = fx["bandwidth"].reshape(-1, 2)[100]   # first leaf slot
+    # the old toolbox selected one *shared* bandwidth for both dims
+    # (0.003295 in the dump); the reference (and we) select per-dim, so only
+    # an order-of-magnitude agreement is meaningful here.
+    assert np.all(got_var > want_var * 0.3) and np.all(got_var < want_var * 3.0)
+
+
+def test_lcv_reasonable_bandwidth_scaling():
+    """Silverman sanity: LOOCV bw for N(0,1) data should scale ~ N^-1/5."""
+    rng = np.random.default_rng(0)
+    bws = []
+    for n in (50, 400):
+        x = rng.normal(size=n)
+        bws.append(float(ksize_bandwidths(x[:, None], np.full(n, 1.0 / n))[0]))
+    assert 0.05 < bws[1] < bws[0] < 1.0
