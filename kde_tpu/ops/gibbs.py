@@ -192,6 +192,23 @@ def _select_label(u, logits):
 # the chain kernel
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iter", "ndens", "ndim", "n_levels",
+                     "addop", "diffop", "get_mu", "get_lambda", "add_entropy"))
+def _gibbs_all_chains(u, n_, plan_lvl, t_mean, t_bw, t_down, t_perm, mask, *,
+                      n_iter, ndens, ndim, n_levels,
+                      addop, diffop, get_mu, get_lambda, add_entropy):
+    """All chains at once: vmap of the single-chain kernel.  Jitted with the
+    plan arrays as traced inputs so repeated products with the same shape
+    configuration reuse the compiled executable."""
+    def chain(u_row, n_row):
+        return _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down,
+                          t_perm, mask, n_iter, ndens, ndim, n_levels,
+                          addop, diffop, get_mu, get_lambda, add_entropy)
+    return jax.vmap(chain)(u, n_)
+
+
 def _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down, t_perm,
                mask, n_iter, ndens, ndim, n_levels,
                addop, diffop, get_mu, get_lambda, add_entropy):
@@ -273,8 +290,9 @@ def _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down, t_perm,
                 carry = upd(j, (ind, mu_sel, var_sel))
                 ind, mu_sel, var_sel = carry
             return ind, mu_sel, var_sel
-        ind, mu_sel, var_sel = jax.lax.fori_loop(
-            0, n_iter, sweep, (ind, mu_sel, var_sel))
+        if n_iter > 0:   # static; fori_loop would still trace an empty body
+            ind, mu_sel, var_sel = jax.lax.fori_loop(
+                0, n_iter, sweep, (ind, mu_sel, var_sel))
         labels_rec.append(t_perm[jnp.arange(ndens), ind])
 
     # final labels + final draw (:612-625)
@@ -366,14 +384,12 @@ def prod_appx_ms_gibbs(npd0,
         u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
         n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
-    chain = functools.partial(
-        _run_chain,
-        plan_lvl=plan.lvl, t_mean=plan.t_mean, t_bw=plan.t_bw,
-        t_down=plan.t_down, t_perm=plan.t_perm, mask=mask,
+    pts, idx, labels = _gibbs_all_chains(
+        u, n_, tuple(plan.lvl), plan.t_mean, plan.t_bw, plan.t_down,
+        plan.t_perm, mask,
         n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
         addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
         get_lambda=get_lambda_t, add_entropy=add_entropy)
-    pts, idx, labels = jax.jit(jax.vmap(chain))(u, n_)
 
     out = (pts.T, idx.T)                                        # [d,Np], [dn,Np]
     if record_labels:

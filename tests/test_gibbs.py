@@ -1,0 +1,131 @@
+"""Statistical acceptance tests for the multiscale Gibbs product engine.
+
+Mirrors the reference's Monte-Carlo test philosophy (test/runtests.jl:167-201):
+the product of M standard-normal D-dim KDEs must have moments matching the
+analytic product Gaussian within coarse brackets, with repeated-trial
+majority voting to absorb MC noise.
+"""
+import numpy as np
+import jax
+import pytest
+
+from kde_tpu import kde, prod_appx_ms_gibbs, product
+
+
+def _test_prods(key, D=3, M=6, N=100, n=100, dev=1.0, mcmc=5):
+    """One trial of the reference's testProds (test/runtests.jl:167-182)."""
+    keys = jax.random.split(key, M + 1)
+    rng = np.random.default_rng(int(jax.random.randint(keys[0], (), 0, 2**31)))
+    dens = [kde(dev * rng.normal(size=(D, N))) for _ in range(M)]
+    pts, _ = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1])
+    pts = np.asarray(pts)
+    assert np.abs(pts).sum() > 1e-14
+    prod_dev = np.sqrt(dev ** (2 * M) / (M * dev ** 2))
+    t1 = np.linalg.norm(pts.mean(axis=1)) < 1.0 * prod_dev
+    t2 = all(0.66 * prod_dev < pts[i].std() < 1.33 * prod_dev
+             for i in range(D))
+    return t1 and t2
+
+
+def _range_test(seed, **kw):
+    """>=5 of 10 trials must pass (reference rangeTestProds,
+    test/runtests.jl:184-187)."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), 10)
+    wins = sum(_test_prods(k, **kw) for k in keys)
+    return wins >= 5
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(D=2, M=2), dict(D=2, M=4), dict(D=2, M=6),
+    dict(D=3, M=6, mcmc=10),
+    dict(D=3, M=5, N=300),
+    dict(D=3, M=2, mcmc=25),
+])
+def test_range_prods(cfg):
+    assert _range_test(seed=17, **cfg)
+
+
+def test_range_prods_4d():
+    # reference config D=4, M=6, n=200, MCMC=10 (test/runtests.jl:195)
+    assert _range_test(seed=23, D=4, M=6, n=200, mcmc=10)
+
+
+def test_product_operator():
+    """p*q of two bimodal KDEs: sizing, refit, sane support
+    (reference src/MSGibbs01.jl:707-736 + README 2D example)."""
+    rng = np.random.default_rng(0)
+    p = kde(rng.normal(size=(2, 100)), [0.5])
+    q = kde(rng.normal(size=(2, 80)) + 0.5, [0.5])
+    pq = p * q
+    assert pq.npts == 90 and pq.ndim == 2       # mean component count
+    pts = np.asarray(pq.get_points())
+    assert np.all(np.abs(pts) < 6.0)
+    # product mode sits between the two factor modes
+    assert 0.0 < pts.mean() < 0.6
+
+
+def test_product_niter_zero_runs():
+    rng = np.random.default_rng(1)
+    p = kde(rng.normal(size=(1, 16)), [0.3])
+    q = kde(rng.normal(size=(1, 16)), [0.3])
+    pts, idx = prod_appx_ms_gibbs(8, [p, q], n_iter=0,
+                                  key=jax.random.PRNGKey(0))
+    assert np.asarray(pts).shape == (1, 8)
+    assert np.asarray(idx).shape == (2, 8)
+
+
+def test_single_density_short_circuit():
+    rng = np.random.default_rng(2)
+    p = kde(rng.normal(size=(1, 40)))
+    r = product([p], add_entropy=False)
+    np.testing.assert_allclose(np.asarray(r.get_points()),
+                               np.asarray(p.get_points()), rtol=1e-12)
+
+
+def test_labels_reconstruct_product_means():
+    """reference examples/ExtractingLabels.jl: with add_entropy=False the
+    returned points must equal the information-weighted mean of the selected
+    kernels (equal bandwidths -> arithmetic mean)."""
+    x1 = kde(np.array([1.0, 2.0, 3.0]), [1.0])
+    x2 = kde(np.array([0.5, 1.5, 2.5]), [1.0])
+    x3 = kde(np.array([4.0, 5.0, 6.0]), [1.0])
+    pts, idx, labels = prod_appx_ms_gibbs(
+        3, [x1, x2, x3], add_entropy=False, record_labels=True,
+        key=jax.random.PRNGKey(3))
+    pts, idx = np.asarray(pts), np.asarray(idx)
+    dens = [x1, x2, x3]
+    for s in range(3):
+        mus = [float(dens[j].get_points()[0, idx[j, s]]) for j in range(3)]
+        np.testing.assert_allclose(pts[0, s], np.mean(mus), rtol=1e-6)
+    # final-level recorded labels agree with the returned indices
+    labels = np.asarray(labels)                  # [Np, ndens, n_levels]
+    np.testing.assert_array_equal(labels[:, :, -1], idx.T)
+
+
+def test_gibbs_indices_valid():
+    rng = np.random.default_rng(4)
+    p = kde(rng.normal(size=(2, 33)), [0.4])
+    q = kde(rng.normal(size=(2, 57)), [0.4])
+    pts, idx = prod_appx_ms_gibbs(25, [p, q], key=jax.random.PRNGKey(5))
+    idx = np.asarray(idx)
+    assert idx.shape == (2, 25)
+    assert np.all(idx[0] >= 0) and np.all(idx[0] < 33)
+    assert np.all(idx[1] >= 0) and np.all(idx[1] < 57)
+
+
+def test_replay_mode_deterministic():
+    """Injected randU/randN streams must reproduce results exactly
+    (the reference's replay hook, src/MSGibbs01.jl:691-695)."""
+    rng = np.random.default_rng(6)
+    p = kde(rng.normal(size=(1, 8)), [0.5])
+    q = kde(rng.normal(size=(1, 8)), [0.5])
+    n_out, n_iter = 4, 3
+    n_levels = int(np.floor(np.log2(8))) + 1
+    bu = 2 * (1 + n_levels * (1 + n_iter)) * n_out
+    bn = 1 * (n_levels + 1) * n_out
+    ru = rng.uniform(size=bu)
+    rn = rng.normal(size=bn)
+    out1 = prod_appx_ms_gibbs(n_out, [p, q], n_iter=n_iter, rand_u=ru, rand_n=rn)
+    out2 = prod_appx_ms_gibbs(n_out, [p, q], n_iter=n_iter, rand_u=ru, rand_n=rn)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))

@@ -1,0 +1,69 @@
+"""Trace-parity: the vectorized TPU Gibbs engine must reproduce the serial
+CPU implementation *exactly* (labels and points) when both consume the same
+injected random streams -- the reference's own cross-implementation
+validation technique (src/MSGibbs01.jl:691-695, SURVEY §4 determinism hook).
+"""
+import numpy as np
+import pytest
+
+from kde_tpu import kde, prod_appx_ms_gibbs
+from kde_tpu.reference_impl import serial_gibbs_product
+
+
+def _streams(rng, ndens, d, n_out, n_iter, max_np):
+    n_levels = int(np.floor(np.log2(max_np))) + 1
+    bu = n_out * ndens * (1 + n_levels * (1 + n_iter))
+    bn = n_out * d * (n_levels + 1)
+    return rng.uniform(size=bu), rng.normal(size=bn), n_levels
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(d=1, ns=(8, 8), n_out=8, n_iter=3),
+    dict(d=2, ns=(16, 16, 16), n_out=8, n_iter=2),
+    dict(d=3, ns=(10, 33), n_out=12, n_iter=1),   # ragged component counts
+    dict(d=2, ns=(16, 16), n_out=8, n_iter=0),
+])
+def test_replay_parity(cfg):
+    rng = np.random.default_rng(7)
+    d, ns, n_out, n_iter = cfg["d"], cfg["ns"], cfg["n_out"], cfg["n_iter"]
+    dens = [kde(rng.normal(size=(d, n)), list(rng.uniform(0.3, 0.8, size=d)))
+            for n in ns]
+    ru, rn, _ = _streams(rng, len(ns), d, n_out, n_iter, max(ns + (n_out,)))
+
+    pts_s, idx_s, lab_s = serial_gibbs_product(
+        [p.tree for p in dens], n_out, n_iter, ru, rn)
+    pts_v, idx_v, lab_v = prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn, record_labels=True)
+
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_v), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
+
+
+def test_replay_parity_partial_dims():
+    rng = np.random.default_rng(8)
+    d, n = 2, 16
+    p1 = kde(rng.normal(size=(d, n)) + 5.0, [0.4, 0.4])
+    p2 = kde(rng.normal(size=(d, n)), [0.4, 0.4])
+    p3 = kde(rng.normal(size=(d, n)) - 5.0, [0.4, 0.4])
+    mask = np.array([[True, False], [True, True], [False, True]])
+    ru, rn, _ = _streams(rng, 3, d, 8, 2, 16)
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [p.tree for p in (p1, p2, p3)], 8, 2, ru, rn, partial_dim_mask=mask)
+    pts_v, idx_v = prod_appx_ms_gibbs(
+        8, [p1, p2, p3], n_iter=2, rand_u=ru, rand_n=rn,
+        partial_dim_mask=mask)
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
+
+
+def test_replay_parity_no_entropy():
+    rng = np.random.default_rng(9)
+    dens = [kde(rng.normal(size=(1, 8)), [0.5]) for _ in range(2)]
+    ru, rn, _ = _streams(rng, 2, 1, 4, 3, 8)
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [p.tree for p in dens], 4, 3, ru, rn, add_entropy=False)
+    pts_v, idx_v = prod_appx_ms_gibbs(
+        4, dens, n_iter=3, rand_u=ru, rand_n=rn, add_entropy=False)
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
