@@ -1,0 +1,75 @@
+"""Benchmark: the BASELINE.json headline -- product of two 1000-component 2-D
+KDEs via multiscale Gibbs sampling, Niter=5, 1000 output samples.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value        = samples/s of the TPU engine (steady-state, post-compile).
+vs_baseline  = value / (serial CPU samples/s of the same algorithm).
+The baseline is measured here (the reference publishes no numbers and Julia
+is not in this image; see BASELINE.md): a chain-serial NumPy implementation
+with vectorized inner loops -- the same chain-at-a-time schedule as the
+reference's `for s in 1:Np` loop (reference src/MSGibbs01.jl:581).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_COMP = 1000       # components per density  (BASELINE.json: 2x1000-comp)
+N_OUT = 1000        # product samples
+N_ITER = 5          # reference Niter for `*` (src/MSGibbs01.jl:724)
+BASELINE_SAMPLES = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kde_tpu import kde, prod_appx_ms_gibbs
+    from kde_tpu.reference_impl import serial_gibbs_product_fast
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.float32
+    pts_a = rng.normal(size=(2, N_COMP))
+    pts_b = rng.normal(size=(2, N_COMP)) + 0.5
+    dens = [kde(pts_a, [0.1], dtype=dtype), kde(pts_b, [0.1], dtype=dtype)]
+    trees = [p.tree for p in dens]          # host precompute outside timing
+
+    # --- TPU engine ---------------------------------------------------------
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=key)
+    jax.block_until_ready(out)
+    reps = 5
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
+                                 key=jax.random.PRNGKey(r + 1))
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    tpu_rate = N_OUT / dt
+
+    # sanity: the product of two unit-ish Gaussian mixtures stays bounded
+    pts = np.asarray(out[0])
+    assert np.all(np.isfinite(pts)) and np.abs(pts).max() < 10.0
+
+    # --- serial CPU baseline ------------------------------------------------
+    t0 = time.perf_counter()
+    serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
+                              np.random.default_rng(1))
+    cpu_rate = BASELINE_SAMPLES / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "gibbs product samples/s (2x1000-comp 2D KDE, Niter=5)",
+        "value": round(tpu_rate, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

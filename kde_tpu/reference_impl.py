@@ -121,7 +121,7 @@ def serial_gibbs_product(trees: Sequence[FlatBallTree],
 
     for s in range(n_out):
         level_list: List[List[int]] = [[t.root] for t in trees]
-        ind = np.zeros(dn, dtype=np.int64)
+        ind = np.zeros(dn, dtype=np.int64)  # noqa: E306 (chain-local state)
         # initIndices: draw from node weights at level 0 (root only)
         for j in range(dn):
             w = np.array([trees[j].weights[n] for n in level_list[j]])
@@ -177,3 +177,100 @@ def serial_gibbs_product(trees: Sequence[FlatBallTree],
         pts[:, s] = sample_point(add_entropy)
 
     return pts, out_idx, labels
+
+
+def serial_gibbs_product_fast(trees: Sequence[FlatBallTree],
+                              n_out: int,
+                              n_iter: int,
+                              rng: np.random.Generator,
+                              add_entropy: bool = True,
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Chain-serial baseline with NumPy-vectorized per-level inner loops.
+
+    Same algorithm and chain-at-a-time schedule as
+    :func:`serial_gibbs_product` (one output sample after another, like the
+    reference's ``for s in 1:Np``, src/MSGibbs01.jl:581), but the per-level
+    kernel-likelihood and CDF operations are NumPy-vectorized over the level's
+    nodes -- approximating what the compiled serial Julia loops achieve on
+    CPU.  This is the measured baseline recorded in BASELINE.md (Julia is not
+    available in this environment).
+    """
+    dn = len(trees)
+    d = trees[0].dims
+    max_np = max([n_out] + [t.num_points for t in trees])
+    n_levels = int(math.floor(math.log(float(max_np)) / math.log(2.0) + 1.0))
+
+    # precompute per-level node stats (host, once -- the reference's trees
+    # play the same role)
+    lvl_nodes = []
+    for j, t in enumerate(trees):
+        lvl_nodes.append(t.level_lists(n_levels))
+    downs = [t.down_map() for t in trees]
+
+    pts = np.zeros((d, n_out))
+    out_idx = np.zeros((dn, n_out), dtype=np.int64)
+
+    for s in range(n_out):
+        ind = np.array([t.root for t in trees])
+        mu_sel = np.stack([trees[j].means[ind[j]] for j in range(dn)])
+        var_sel = np.stack([trees[j].bandwidth[ind[j]] for j in range(dn)])
+
+        def gauss_product(skip):
+            lam = 1.0 / var_sel                       # [dn, d]
+            if skip >= 0:
+                lam = np.delete(lam, skip, axis=0)
+                mus = np.delete(mu_sel, skip, axis=0)
+            else:
+                mus = mu_sel
+            lam_tot = lam.sum(axis=0)
+            cov = 1.0 / lam_tot
+            return cov * (lam * mus).sum(axis=0), cov
+
+        for l in range(1, n_levels + 1):
+            mu, cov = gauss_product(-1)
+            x = mu + np.sqrt(cov) * rng.standard_normal(d)
+            ind = np.array([downs[j][ind[j]] for j in range(dn)])
+            for j in range(dn):
+                nodes = lvl_nodes[j][l]
+                m = trees[j].means[nodes]             # [n_l, d]
+                b = trees[j].bandwidth[nodes]
+                w = trees[j].weights[nodes]
+                dlt = m - x[None, :]
+                logp = -0.5 * ((dlt * dlt / b) + np.log(b)).sum(axis=1)
+                p = np.exp(logp) * w
+                tot = p.sum()
+                if tot < 1e-99:
+                    p[:] = 1.0
+                    tot = p.size
+                cdf = np.cumsum(p / tot)
+                z = min(np.searchsorted(cdf, rng.uniform()), p.size - 1)
+                ind[j] = nodes[z]
+                mu_sel[j] = trees[j].means[ind[j]]
+                var_sel[j] = trees[j].bandwidth[ind[j]]
+            for _ in range(n_iter):
+                for j in range(dn):
+                    mu, cov = gauss_product(j)
+                    nodes = lvl_nodes[j][l]
+                    m = trees[j].means[nodes]
+                    b = trees[j].bandwidth[nodes] + cov[None, :]
+                    w = trees[j].weights[nodes]
+                    dlt = m - mu[None, :]
+                    logp = -0.5 * ((dlt * dlt / b) + np.log(b)).sum(axis=1)
+                    p = np.exp(logp) * w
+                    tot = p.sum()
+                    if tot < 1e-99:
+                        p[:] = 1.0
+                        tot = p.size
+                    cdf = np.cumsum(p / tot)
+                    z = min(np.searchsorted(cdf, rng.uniform()), p.size - 1)
+                    ind[j] = nodes[z]
+                    mu_sel[j] = trees[j].means[ind[j]]
+                    var_sel[j] = trees[j].bandwidth[ind[j]]
+
+        for j in range(dn):
+            out_idx[j, s] = trees[j].permutation[ind[j]]
+        mu, cov = gauss_product(-1)
+        pts[:, s] = mu + (np.sqrt(cov) * rng.standard_normal(d)
+                          if add_entropy else 0.0)
+
+    return pts, out_idx
