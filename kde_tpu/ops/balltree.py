@@ -102,17 +102,13 @@ class FlatBallTree:
         reference src/MSGibbs01.jl:500-523).  Returns ``n_levels + 1`` arrays
         (levels 0..n_levels).
         """
+        two_n = 2 * self.num_points
         out = [np.array([self.root], dtype=np.int64)]
         cur = out[0]
         for _ in range(n_levels):
-            nxt: List[int] = []
-            for node in cur:
-                l, r = self.left[node], self.right[node]
-                if 0 <= l < 2 * self.num_points:
-                    nxt.append(int(l))
-                if 0 <= r < 2 * self.num_points:
-                    nxt.append(int(r))
-            cur = np.asarray(nxt, dtype=np.int64)
+            # vectorized expansion preserving (left, right) order per node
+            pairs = np.stack([self.left[cur], self.right[cur]], axis=1).ravel()
+            cur = pairs[(pairs >= 0) & (pairs < two_n)]
             out.append(cur)
         return out
 

@@ -86,37 +86,73 @@ class _ProductPlan:
             t_perm[j, :s] = t.permutation
             t_down[j, :s] = t.down_map()
 
-        # per-level node lists, padded across densities
+        # Per-level node lists (levels 1..n_levels; level 0 is just the root),
+        # padded across densities and *packed along one concatenated node
+        # axis* so the whole plan ships to the device in a handful of
+        # transfers; per-level views are static slices taken inside the
+        # jitted program (free after fusion).
         per_tree_lists = [t.level_lists(self.n_levels) for t in trees]
-        self.levels = []   # list of (nodes [dn, n_l], valid [dn, n_l])
-        for l in range(self.n_levels + 1):
-            n_l = max(len(per_tree_lists[j][l]) for j in range(dn))
-            nodes = np.zeros((dn, n_l), dtype=np.int64)
-            valid = np.zeros((dn, n_l), dtype=bool)
+        widths = [max(len(per_tree_lists[j][l]) for j in range(dn))
+                  for l in range(self.n_levels + 1)]
+        self.offsets: List[Tuple[int, int]] = []
+        total = 0
+        for l in range(1, self.n_levels + 1):
+            self.offsets.append((total, widths[l]))
+            total += widths[l]
+        nodes_cat = np.zeros((dn, total), dtype=np.int64)
+        valid_cat = np.zeros((dn, total), dtype=bool)
+        for l in range(1, self.n_levels + 1):
+            o, _w = self.offsets[l - 1]
             for j in range(dn):
                 lst = per_tree_lists[j][l]
-                nodes[j, :len(lst)] = lst
-                valid[j, :len(lst)] = True
-            self.levels.append((nodes, valid))
+                nodes_cat[j, o:o + len(lst)] = lst
+                valid_cat[j, o:o + len(lst)] = True
+        idx_j = np.arange(dn)[:, None]
+        lvl_mean = t_mean[idx_j, nodes_cat]               # [dn, T, d]
+        lvl_bw = t_bw[idx_j, nodes_cat]
+        lvl_logw = (np.log(np.maximum(t_wt[idx_j, nodes_cat], 1e-300))
+                    + np.where(valid_cat, 0.0, -np.inf))  # [dn, T]
 
         as_dev = lambda x, dt=dtype: jnp.asarray(x, dtype=dt)
         self.t_mean = as_dev(t_mean)
         self.t_bw = as_dev(t_bw)
-        self.t_wt = as_dev(t_wt)
-        self.t_perm = jnp.asarray(t_perm)
-        self.t_down = jnp.asarray(t_down)
-        # gathered per-level stats (device)
-        self.lvl = []
-        for nodes, valid in self.levels:
-            idx_j = np.arange(dn)[:, None]
-            self.lvl.append(dict(
-                nodes=jnp.asarray(nodes),
-                valid=jnp.asarray(valid),
-                mean=as_dev(t_mean[idx_j, nodes]),        # [dn, n_l, d]
-                bw=as_dev(t_bw[idx_j, nodes]),            # [dn, n_l, d]
-                logw=as_dev(np.log(np.maximum(t_wt[idx_j, nodes], 1e-300))
-                            + np.where(valid, 0.0, -np.inf)),  # [dn, n_l]
-            ))
+        self.t_perm = jnp.asarray(t_perm.astype(np.int32))
+        self.t_down = jnp.asarray(t_down.astype(np.int32))
+        self.lvl_nodes = jnp.asarray(nodes_cat.astype(np.int32))
+        self.lvl_mean = as_dev(lvl_mean)
+        self.lvl_bw = as_dev(lvl_bw)
+        self.lvl_logw = as_dev(lvl_logw)
+
+    @property
+    def lvl_arrays(self):
+        return (self.lvl_nodes, self.lvl_mean, self.lvl_bw, self.lvl_logw)
+
+
+# Plan cache: keyed by the identity of the participating densities and the
+# level/dtype configuration; entries are evicted when any density is GC'd.
+# Repeated products over the same densities (e.g. nonparametric belief
+# propagation iterations, or LOOCV probes) skip the host precompute entirely.
+_plan_cache: dict = {}
+
+
+def _get_plan(densities: Sequence[KDE], n_out: int, dtype) -> _ProductPlan:
+    import weakref
+    ids = tuple(id(p) for p in densities)
+    npts = tuple(p.npts for p in densities)
+    max_np = max((n_out,) + npts)
+    n_levels = int(math.floor(math.log(float(max_np)) / math.log(2.0)) + 1.0)
+    key = (ids, npts, n_levels, str(dtype))
+    hit = _plan_cache.get(key)
+    if hit is not None:
+        return hit
+    plan = _ProductPlan(densities, n_out, dtype)
+    _plan_cache[key] = plan
+
+    def _evict(key=key):
+        _plan_cache.pop(key, None)
+    for p in densities:
+        weakref.finalize(p, _evict)
+    return plan
 
 
 # ---------------------------------------------------------------------------
@@ -181,10 +217,13 @@ def _kernel_logits(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
 
 def _select_label(u, logits):
     """Inverse-CDF draw matching the reference's scan (selectLabelOnLevel,
-    src/MSGibbs01.jl:330-351): first index whose CDF reaches ``u``."""
+    src/MSGibbs01.jl:330-351): first index whose CDF reaches ``u``.  The
+    index is computed as a count of CDF entries below ``u`` (one vectorized
+    compare+sum) rather than a binary search -- identical result, far
+    cheaper on the VPU."""
     p = jax.nn.softmax(logits)
     cdf = jnp.cumsum(p)
-    z = jnp.searchsorted(cdf, u, side="left")
+    z = jnp.sum((cdf < u).astype(jnp.int32))
     return jnp.clip(z, 0, logits.shape[0] - 1)
 
 
@@ -194,22 +233,22 @@ def _select_label(u, logits):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iter", "ndens", "ndim", "n_levels",
+    static_argnames=("offsets", "n_iter", "ndens", "ndim", "n_levels",
                      "addop", "diffop", "get_mu", "get_lambda", "add_entropy"))
-def _gibbs_all_chains(u, n_, plan_lvl, t_mean, t_bw, t_down, t_perm, mask, *,
-                      n_iter, ndens, ndim, n_levels,
+def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
+                      offsets, n_iter, ndens, ndim, n_levels,
                       addop, diffop, get_mu, get_lambda, add_entropy):
     """All chains at once: vmap of the single-chain kernel.  Jitted with the
     plan arrays as traced inputs so repeated products with the same shape
     configuration reuse the compiled executable."""
     def chain(u_row, n_row):
-        return _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down,
-                          t_perm, mask, n_iter, ndens, ndim, n_levels,
+        return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
+                          t_down, t_perm, mask, n_iter, ndens, ndim, n_levels,
                           addop, diffop, get_mu, get_lambda, add_entropy)
     return jax.vmap(chain)(u, n_)
 
 
-def _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down, t_perm,
+def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw, t_down, t_perm,
                mask, n_iter, ndens, ndim, n_levels,
                addop, diffop, get_mu, get_lambda, add_entropy):
     """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
@@ -251,8 +290,13 @@ def _run_chain(u_row, n_row, plan_lvl, t_mean, t_bw, t_down, t_perm,
     x = jnp.zeros(ndim, dtype=f)
     labels_rec = []
 
+    lvl_nodes_cat, lvl_mean_cat, lvl_bw_cat, lvl_logw_cat = lvl_arrays
     for l in range(1, n_levels + 1):
-        lvl = plan_lvl[l]
+        o, w = offsets[l - 1]
+        lvl = dict(nodes=lvl_nodes_cat[:, o:o + w],
+                   mean=lvl_mean_cat[:, o:o + w],
+                   bw=lvl_bw_cat[:, o:o + w],
+                   logw=lvl_logw_cat[:, o:o + w])
         # (1) draw X from the product of current selections (:594)
         x = sample_point(mu_sel, var_sel, normals[l - 1], True)
         # (2) descend one level (:597)
@@ -346,9 +390,10 @@ def prod_appx_ms_gibbs(npd0,
     labels -- plus ``labels [Np, ndens, n_levels]`` if ``record_labels``.
     """
     n_out = npd0 if isinstance(npd0, int) else npd0.npts
+    densities = list(densities)
     if dtype is None:
         dtype = densities[0].points.dtype
-    plan = _ProductPlan(densities, n_out, dtype)
+    plan = _get_plan(densities, n_out, dtype)
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
     if partial_dim_mask is None:
@@ -385,8 +430,9 @@ def prod_appx_ms_gibbs(npd0,
         n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
     pts, idx, labels = _gibbs_all_chains(
-        u, n_, tuple(plan.lvl), plan.t_mean, plan.t_bw, plan.t_down,
+        u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
         plan.t_perm, mask,
+        offsets=tuple(plan.offsets),
         n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
         addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
         get_lambda=get_lambda_t, add_entropy=add_entropy)

@@ -46,7 +46,7 @@ def prod_appx_ms_gibbs_sharded(mesh: Mesh,
     """
     if dtype is None:
         dtype = densities[0].points.dtype
-    plan = _g._ProductPlan(list(densities), n_out, dtype)
+    plan = _g._get_plan(list(densities), n_out, dtype)
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
     if partial_dim_mask is None:
@@ -68,8 +68,9 @@ def prod_appx_ms_gibbs_sharded(mesh: Mesh,
     n_ = jax.device_put(n_, sh)
 
     pts, idx, _ = _g._gibbs_all_chains(
-        u, n_, tuple(plan.lvl), plan.t_mean, plan.t_bw, plan.t_down,
+        u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
         plan.t_perm, mask,
+        offsets=tuple(plan.offsets),
         n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
         addop=None, diffop=None, get_mu=None, get_lambda=None,
         add_entropy=add_entropy)
