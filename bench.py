@@ -44,24 +44,31 @@ def main():
     # warmup/compile
     out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=key)
     jax.block_until_ready(out)
-    reps = 5
+    # pipelined throughput: dispatch all reps, sync once (a single device
+    # sync through the remote-TPU tunnel costs ~30 ms of pure latency and
+    # would otherwise dominate the measurement)
+    reps = 10
     t0 = time.perf_counter()
-    for r in range(reps):
-        out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
-                                 key=jax.random.PRNGKey(r + 1))
-        jax.block_until_ready(out)
+    outs = [prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
+                               key=jax.random.PRNGKey(r + 1))
+            for r in range(reps)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / reps
     tpu_rate = N_OUT / dt
+    out = outs[-1]
 
     # sanity: the product of two unit-ish Gaussian mixtures stays bounded
     pts = np.asarray(out[0])
     assert np.all(np.isfinite(pts)) and np.abs(pts).max() < 10.0
 
-    # --- serial CPU baseline ------------------------------------------------
-    t0 = time.perf_counter()
-    serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
-                              np.random.default_rng(1))
-    cpu_rate = BASELINE_SAMPLES / (time.perf_counter() - t0)
+    # --- serial CPU baseline (best of 3 runs for stability) -----------------
+    cpu_rate = 0.0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
+                                  np.random.default_rng(rep))
+        cpu_rate = max(cpu_rate,
+                       BASELINE_SAMPLES / (time.perf_counter() - t0))
 
     print(json.dumps({
         "metric": "gibbs product samples/s (2x1000-comp 2D KDE, Niter=5)",

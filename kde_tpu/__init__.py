@@ -19,6 +19,7 @@ from .functionals import (
 from .ops.sampling import rand_kde, resample, sample, sample_at
 from .serialization import from_string, load_kde, save_kde, to_string
 from .utils.random import set_seed
+from .config import set_force_eval_direct
 from . import manifolds
 
 # Gibbs product engine (the reference's prodAppxMSGibbsS and `*`,
@@ -33,5 +34,5 @@ __all__ = [
     "sample", "sample_at", "rand_kde", "resample",
     "to_string", "from_string", "save_kde", "load_kde",
     "prod_appx_ms_gibbs", "product",
-    "set_seed", "manifolds",
+    "set_seed", "set_force_eval_direct", "manifolds",
 ]

@@ -1,0 +1,37 @@
+"""Global configuration flags.
+
+The reference's entire configuration system is two globals (SURVEY C15):
+``FORCE_EVAL_DIRECT`` (src/KernelDensityEstimate.jl:54) -- which disables the
+dual-tree pruning so every evaluation is brute-force direct -- and
+``DirectSize`` (src/BallTreeDensity01.jl:7), the leaf-block threshold.
+
+On TPU, evaluation is *always* dense/direct (exact), so ``FORCE_EVAL_DIRECT``
+is inherently true; the setter is kept for API compatibility and emits a
+notice when callers attempt to enable tree pruning (which would be a
+pessimization on this hardware).  ``DIRECT_SIZE`` survives as the query-chunk
+threshold above which evaluation auto-tiles to bound HBM working sets.
+"""
+
+from __future__ import annotations
+
+import logging
+
+_log = logging.getLogger("kde_tpu")
+
+FORCE_EVAL_DIRECT: bool = True
+
+# Above this many query*component pairs, dense evaluation chunks the query
+# axis (and the Pallas path tiles both axes).
+DIRECT_PAIR_LIMIT: int = 1 << 24
+
+
+def set_force_eval_direct(flag: bool = False) -> None:
+    """API-compatible setter (reference ``setForceEvalDirect!``,
+    src/KernelDensityEstimate.jl:56-60).  Dense evaluation is exact on TPU,
+    so disabling direct evaluation has no effect beyond this notice."""
+    global FORCE_EVAL_DIRECT
+    FORCE_EVAL_DIRECT = bool(flag)
+    if not flag:
+        _log.info("kde_tpu evaluates densities densely (exact); dual-tree "
+                  "pruning does not exist on this backend and errTol is "
+                  "accepted for compatibility only.")

@@ -53,6 +53,21 @@ def circular_add(a, b):
     return s - 2.0 * jnp.pi * jnp.round(s / (2.0 * jnp.pi))
 
 
+def circular_lambda(lambdas, axis=-1):
+    """Information sum is manifold-independent."""
+    return jnp.sum(lambdas, axis=axis)
+
+
+def circular_mu(mus, lambdas, scale, axis=-1):
+    """Information-weighted mean of angles: differences are taken relative to
+    the first component so the average stays on the correct side of the wrap
+    (the reference leaves getMu pluggable for exactly this,
+    src/MSGibbs01.jl:152-161)."""
+    ref = jnp.take(mus, 0, axis=axis)
+    d = circular_diff(mus, jnp.expand_dims(ref, axis))
+    return circular_add(ref, scale * jnp.sum(d * lambdas, axis=axis))
+
+
 # ---- tuple broadcasting -----------------------------------------------------
 
 def broadcast_ops(ops, ndim: int) -> Tuple[Callable, ...]:
