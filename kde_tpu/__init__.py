@@ -13,9 +13,12 @@ plan; public names mirror the reference's export list
 
 from .density import KDE, kde
 from .functionals import (
-    entropy, eval_avg_logl, get_kde_fit, get_kde_max, get_kde_mean,
-    get_kde_range, get_kde_range_linspace, inters_intg_appx_is, kld, minkld,
+    entropy, eval_avg_logl, evaluate_dual_tree, get_kde_fit, get_kde_max,
+    get_kde_mean, get_kde_range, get_kde_range_linspace, inters_intg_appx_is,
+    kld, minkld,
 )
+from .ops.balltree import FlatBallTree, build_balltree
+from .ops.loocv import ksize, nloo_ll
 from .ops.sampling import rand_kde, resample, sample, sample_at
 from .serialization import from_string, load_kde, save_kde, to_string
 from .utils.random import set_seed
@@ -34,5 +37,7 @@ __all__ = [
     "sample", "sample_at", "rand_kde", "resample",
     "to_string", "from_string", "save_kde", "load_kde",
     "prod_appx_ms_gibbs", "product",
+    "evaluate_dual_tree", "ksize", "nloo_ll",
+    "FlatBallTree", "build_balltree",
     "set_seed", "set_force_eval_direct", "manifolds",
 ]

@@ -92,13 +92,15 @@ class KDE:
         """Kernel centers, ``[d, N]`` (reference orientation)."""
         return self.points.T
 
-    def get_bw(self) -> Array:
-        """Per-kernel bandwidths as *standard deviations*, ``[d, N]``
-        (the reference's getBW takes the sqrt, src/KDE01.jl:118)."""
-        return jnp.sqrt(self.bw).T
+    def get_bw(self, ind=None) -> Array:
+        """Per-kernel bandwidths as *standard deviations*, ``[d, N]`` or the
+        selected columns (the reference's getBW takes the sqrt and accepts an
+        index list, src/KDE01.jl:109-120)."""
+        s = jnp.sqrt(self.bw).T
+        return s if ind is None else s[:, jnp.asarray(ind)]
 
-    def get_weights(self) -> Array:
-        return self.weights
+    def get_weights(self, ind=None) -> Array:
+        return self.weights if ind is None else self.weights[jnp.asarray(ind)]
 
     def marginal(self, dims: Sequence[int]) -> "KDE":
         """Marginal KDE over the selected dims (reference src/KDE01.jl:143-153)."""
@@ -131,6 +133,13 @@ class KDE:
         return jnp.exp(self.log_eval(pos, chunk=chunk))
 
     __call__ = evaluate
+
+    @property
+    def kernel_type(self):
+        """Kernel family (reference ``getType``/``GaussianKer``,
+        src/BallTreeDensity01.jl:3-5,49)."""
+        from .models.kernels import GaussianKernel
+        return GaussianKernel
 
     # ---- operators ----------------------------------------------------------
 

@@ -143,3 +143,15 @@ def inters_intg_appx_is(p: KDE, q: KDE, n: int = 201) -> float:
     yy = np.asarray(p.evaluate(xx, chunk=4096)) * np.asarray(
         q.evaluate(xx, chunk=4096))
     return float(yy.sum() * dx[0] * dx[1])
+
+
+def evaluate_dual_tree(p: KDE, pos, lv_flag: bool = False,
+                       err_tol: float = 1e-3) -> jnp.ndarray:
+    """API-compatible alias for the reference's ``evaluateDualTree``
+    (src/DualTree01.jl:370-421).  Evaluation is dense and exact on TPU;
+    ``err_tol`` is accepted for compatibility only."""
+    if isinstance(pos, KDE):
+        if lv_flag or pos is p:
+            return p.evaluate(None, lv_flag=True)
+        return p.evaluate(pos.get_points())
+    return p.evaluate(pos, lv_flag=lv_flag, err_tol=err_tol)

@@ -109,3 +109,30 @@ def ksize_bandwidths(points: np.ndarray,
 
     xmin, _ = golden_batched(nloo, ax, bx, cx, tol)
     return xmin * base                               # std-dev bandwidths
+
+
+def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
+    """Negative average LOO log-likelihood of ``p`` with its variance scaled
+    by ``alpha^2`` in std units (reference nLOO_LL,
+    src/CrossValidation.jl:15-24).  Uniform-bandwidth densities only, as in
+    the reference (:10)."""
+    if p.multibandwidth:
+        raise ValueError("nLOO_LL requires a uniform bandwidth "
+                         "(reference src/CrossValidation.jl:10)")
+    from .kernels import entropy_kernel
+    scale = float(alpha) ** 2
+    return float(entropy_kernel(
+        jnp.asarray(np.asarray(p.points), dtype=dtype),
+        jnp.asarray(np.asarray(p.bw) * scale, dtype=dtype),
+        jnp.asarray(np.asarray(p.weights), dtype=dtype)))
+
+
+def ksize(p, dtype=jnp.float64):
+    """LOOCV-refit of a density: select a fresh per-dim bandwidth for ``p``'s
+    points/weights and return the refit KDE (reference ksize,
+    src/CrossValidation.jl:110-120)."""
+    from ..density import kde
+    pts = np.asarray(p.get_points(), dtype=np.float64)
+    w = np.asarray(p.get_weights(), dtype=np.float64)
+    bwds = ksize_bandwidths(pts.T, w, dtype=dtype)
+    return kde(pts, bwds, w)
