@@ -178,7 +178,8 @@ def _select(pts: np.ndarray, order: np.ndarray, dim: int, position: int,
 
 def build_balltree(points: np.ndarray,
                    weights: np.ndarray,
-                   bandwidth: Optional[np.ndarray] = None) -> FlatBallTree:
+                   bandwidth: Optional[np.ndarray] = None,
+                   backend: str = "auto") -> FlatBallTree:
     """Build the flat ball tree + Gaussian stats for ``points``.
 
     Args:
@@ -189,6 +190,9 @@ def build_balltree(points: np.ndarray,
       bandwidth: kernel *variances*: ``[d]`` for a uniform bandwidth or
         ``[N, d]`` per-kernel (multi-bandwidth).  ``None`` -> zeros (plain
         ball tree without density stats).
+      backend: ``auto`` (native C++ when available, else Python), ``native``
+        or ``python``.  Both produce bit-identical trees
+        (tests/test_native_balltree.py).
 
     Returns a :class:`FlatBallTree`.
     """
@@ -196,7 +200,7 @@ def build_balltree(points: np.ndarray,
     if pts.ndim != 2:
         raise ValueError("points must be [N, d]")
     N, d = pts.shape
-    w = np.asarray(weights, dtype=np.float64).reshape(N)
+    w = np.ascontiguousarray(np.asarray(weights, dtype=np.float64).reshape(N))
 
     if bandwidth is None:
         bw_leaf = np.zeros((N, d))
@@ -211,7 +215,15 @@ def build_balltree(points: np.ndarray,
         else:
             multibw = True
             bw1d = None
-            bw_leaf = bwa.reshape(N, d).copy()
+            bw_leaf = np.ascontiguousarray(bwa.reshape(N, d))
+
+    if backend in ("auto", "native") and N > 1:
+        from .. import native as _native_mod
+        lib = _native_mod.get_lib()
+        if lib is not None:
+            return _build_native(lib, pts, w, bw_leaf, multibw, bw1d)
+        if backend == "native":
+            raise RuntimeError("native ball-tree library unavailable")
 
     two_n = 2 * N
     centers = np.zeros((two_n, d))
@@ -336,6 +348,51 @@ def build_balltree(points: np.ndarray,
         permutation=perm, means=means, bandwidth=bw_arr,
         bw_min=bw_min, bw_max=bw_max, multibandwidth=multibw, depth=depth,
     )
+
+
+def _build_native(lib, pts: np.ndarray, w: np.ndarray, bw_leaf: np.ndarray,
+                  multibw: bool, bw1d: Optional[np.ndarray]) -> FlatBallTree:
+    """C++ builder (kde_tpu/native/balltree.cpp) -- bit-identical to the
+    Python path above; ~50x faster at N=1e5."""
+    import ctypes
+    N, d = pts.shape
+    two_n = 2 * N
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    centers = np.zeros((two_n, d))
+    ranges = np.zeros((two_n, d))
+    wts = np.zeros(two_n)
+    left = np.zeros(two_n, dtype=np.int64)
+    right = np.zeros(two_n, dtype=np.int64)
+    lowest = np.zeros(two_n, dtype=np.int64)
+    highest = np.zeros(two_n, dtype=np.int64)
+    perm = np.zeros(two_n, dtype=np.int64)
+    means = np.zeros((two_n, d))
+    bw_arr = np.zeros((two_n, d))
+    depth = np.zeros(two_n, dtype=np.int64)
+    if multibw:
+        bw_min = np.zeros((two_n, d))
+        bw_max = np.zeros((two_n, d))
+    else:
+        bw_min = bw_max = np.zeros((1, d))   # unused by the C++ when !multibw
+
+    c = lambda a: a.ctypes.data_as(dp)
+    i = lambda a: a.ctypes.data_as(ip)
+    lib.kde_build_balltree(
+        c(pts), c(w), c(np.ascontiguousarray(bw_leaf)),
+        ctypes.c_int64(N), ctypes.c_int64(d), ctypes.c_int(int(multibw)),
+        c(centers), c(ranges), c(wts), i(left), i(right), i(lowest),
+        i(highest), i(perm), c(means), c(bw_arr), c(bw_min), c(bw_max),
+        i(depth))
+
+    return FlatBallTree(
+        dims=d, num_points=N,
+        centers=centers, ranges=ranges, weights=wts,
+        left=left, right=right, lowest_leaf=lowest, highest_leaf=highest,
+        permutation=perm, means=means, bandwidth=bw_arr,
+        bw_min=bw_min if multibw else bw1d,
+        bw_max=bw_max if multibw else bw1d,
+        multibandwidth=multibw, depth=depth)
 
 
 def neighbor_min_max(tree: FlatBallTree) -> Tuple[float, float]:
