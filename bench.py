@@ -44,11 +44,11 @@ def main():
     # warmup/compile
     out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=key)
     jax.block_until_ready(out)
-    # pipelined throughput: dispatch all reps, sync once (a single device
-    # sync through the remote-TPU tunnel costs ~30 ms of pure latency and
-    # would otherwise dominate the measurement); best of 3 rounds to damp
+    # pipelined steady-state throughput: dispatch all reps, sync once (a
+    # device sync through the remote-TPU tunnel costs ~30 ms of pure latency,
+    # and shallow pipelines under-report by 2-3x); best of 3 rounds to damp
     # tunnel jitter
-    reps = 10
+    reps = 30
     tpu_rate = 0.0
     for rnd in range(3):
         t0 = time.perf_counter()

@@ -117,6 +117,11 @@ class KDE:
         densities as in the reference's deprecated vector API,
         src/DualTree01.jl:394-404)."""
         q = _as_query(pos, self.ndim, self.points.dtype)
+        if chunk is None:
+            # bound the [chunk, N] logit working set in HBM (config.DIRECT_PAIR_LIMIT)
+            from . import config
+            if q.shape[0] * self.npts > config.DIRECT_PAIR_LIMIT:
+                chunk = max(1, config.DIRECT_PAIR_LIMIT // self.npts)
         return kernels.log_eval(q, self.points, self.bw, self.weights,
                                 self._eval_diffop, chunk=chunk)
 
