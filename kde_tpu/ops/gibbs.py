@@ -457,3 +457,50 @@ def product(densities: Sequence[KDE],
     pts, _ = prod_appx_ms_gibbs(n_out, densities, n_iter=5,
                                 add_entropy=add_entropy, key=key)
     return kde(pts)
+
+
+class ProductSampler:
+    """Reusable sampler for repeated products over the same densities.
+
+    Holds the device-resident plan and the compiled chain program, so each
+    ``sample(key)`` is a single dispatch -- the serving-path API for
+    nonparametric belief propagation, where the same message densities are
+    multiplied every iteration.
+
+    >>> sampler = ProductSampler([p, q], n_out=1000, n_iter=5)
+    >>> pts, labels = sampler.sample(jax.random.PRNGKey(0))
+    """
+
+    def __init__(self, densities: Sequence[KDE], n_out: int,
+                 n_iter: int = 5, add_entropy: bool = True,
+                 partial_dim_mask=None, dtype=None):
+        self.densities = list(densities)
+        if dtype is None:
+            dtype = self.densities[0].points.dtype
+        self.dtype = dtype
+        self.n_out = n_out
+        self.n_iter = n_iter
+        self.add_entropy = add_entropy
+        self.plan = _get_plan(self.densities, n_out, dtype)
+        dn, d = self.plan.ndens, self.plan.ndim
+        if partial_dim_mask is None:
+            self.mask = jnp.ones((dn, d), dtype=bool)
+        else:
+            self.mask = jnp.asarray(
+                np.asarray(partial_dim_mask, bool).reshape(dn, d))
+        self.bu = dn * (1 + self.plan.n_levels * (1 + n_iter))
+        self.bn = d * (self.plan.n_levels + 1)
+
+    def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (points [d, n_out], labels [ndens, n_out])."""
+        ku, kn = jax.random.split(key)
+        u = jax.random.uniform(ku, (self.n_out, self.bu), dtype=self.dtype)
+        n_ = jax.random.normal(kn, (self.n_out, self.bn), dtype=self.dtype)
+        p = self.plan
+        pts, idx, _ = _gibbs_all_chains(
+            u, n_, p.lvl_arrays, p.t_mean, p.t_bw, p.t_down, p.t_perm,
+            self.mask, offsets=tuple(p.offsets),
+            n_iter=self.n_iter, ndens=p.ndens, ndim=p.ndim,
+            n_levels=p.n_levels, addop=None, diffop=None, get_mu=None,
+            get_lambda=None, add_entropy=self.add_entropy)
+        return pts.T, idx.T
