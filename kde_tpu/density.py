@@ -50,9 +50,21 @@ class KDE:
                  multibandwidth: bool = False,
                  addop=None,
                  diffop=None):
+        # Host-side copies are captured BEFORE device upload whenever the
+        # inputs arrive as NumPy (the common case): the ball-tree build and
+        # LOOCV bracket are host-side consumers, and a device->host readback
+        # both wastes tunnel bandwidth and (on the axon remote-TPU runtime)
+        # permanently degrades dispatch latency for the whole process.
+        self._host_points = (np.asarray(points, dtype=np.float64)
+                             if not isinstance(points, jnp.ndarray) else None)
+        self._host_bw = (np.asarray(bw, dtype=np.float64)
+                         if not isinstance(bw, jnp.ndarray) else None)
         self.points = jnp.asarray(points)            # [N, d]
         self.bw = jnp.asarray(bw)                    # [N, d] variances
         self.weights = jnp.asarray(weights)          # [N], normalized
+        self._host_weights = (np.asarray(weights, dtype=np.float64)
+                              if not isinstance(weights, jnp.ndarray)
+                              else None)
         self.multibandwidth = bool(multibandwidth)
         d = self.points.shape[1]
         self.addop = manifolds.broadcast_ops(addop, d)
@@ -73,11 +85,14 @@ class KDE:
     def tree(self) -> FlatBallTree:
         """Host-side flat ball tree (lazily built; see ops/balltree.py)."""
         if self._tree is None:
-            bw = np.asarray(self.bw, dtype=np.float64)
+            bw = (self._host_bw if self._host_bw is not None
+                  else np.asarray(self.bw, dtype=np.float64))
+            pts = (self._host_points if self._host_points is not None
+                   else np.asarray(self.points, dtype=np.float64))
+            w = (self._host_weights if self._host_weights is not None
+                 else np.asarray(self.weights, dtype=np.float64))
             self._tree = build_balltree(
-                np.asarray(self.points, dtype=np.float64),
-                np.asarray(self.weights, dtype=np.float64),
-                bw if self.multibandwidth else bw[0])
+                pts, w, bw if self.multibandwidth else bw[0])
         return self._tree
 
     @property
@@ -219,7 +234,13 @@ def kde(points,
             var = (bwa.reshape(d, n) ** 2).T         # [N, d]
             multibw = True
 
-    return KDE(jnp.asarray(pts_nd, dtype=dtype),
-               jnp.asarray(var, dtype=dtype),
-               jnp.asarray(w, dtype=dtype),
-               multibandwidth=multibw, addop=addop, diffop=diffop)
+    k = KDE(jnp.asarray(pts_nd, dtype=dtype),
+            jnp.asarray(var, dtype=dtype),
+            jnp.asarray(w, dtype=dtype),
+            multibandwidth=multibw, addop=addop, diffop=diffop)
+    # retain the host-side copies: the ball-tree build consumes them without
+    # a device->host readback (see KDE.__init__ note)
+    k._host_points = pts_nd
+    k._host_bw = var
+    k._host_weights = w
+    return k

@@ -123,6 +123,51 @@ class _ProductPlan:
         self.lvl_bw = as_dev(lvl_bw)
         self.lvl_logw = as_dev(lvl_logw)
 
+        # Packed float32 arrays for the fused Pallas kernels
+        # (ops/gibbs_pallas.py): stats flattened to [dn*d, T_pk] with
+        # lane-axis candidates and per-level permutation ids precomputed.
+        # Level widths are padded up to power-of-two buckets at bucket-
+        # aligned offsets, so (a) the kernels' BlockSpec index maps stay
+        # integral and (b) identically-bucketed levels reuse compiled
+        # kernels.  Padded slots replicate the last valid node with -inf
+        # log-weight, so a floating-point CDF tail can never gather garbage.
+        from . import gibbs_pallas as _gp
+        lvl_perm = t_perm[idx_j, nodes_cat]               # [dn, T]
+        self.pk_offsets: List[Tuple[int, int]] = []
+        cur = 0
+        for l in range(1, self.n_levels + 1):
+            w = widths[l]
+            wp = max(_gp.MIN_WIDTH, 1 << (w - 1).bit_length())
+            o = ((cur + wp - 1) // wp) * wp               # bucket-aligned
+            self.pk_offsets.append((o, wp))
+            cur = o + wp
+        pk_mean = np.zeros((dn * d, cur), np.float32)
+        pk_bw = np.ones((dn * d, cur), np.float32)
+        pk_logw = np.full((dn, cur), -np.inf, np.float32)
+        pk_perm = np.zeros((dn, cur), np.int32)
+        for l in range(1, self.n_levels + 1):
+            o, _w = self.offsets[l - 1]
+            po, pw = self.pk_offsets[l - 1]
+            for j in range(dn):
+                nv = len(per_tree_lists[j][l])
+                last = o + max(nv - 1, 0)
+                src = list(range(o, o + nv)) + [last] * (pw - nv)
+                for k in range(d):
+                    pk_mean[j * d + k, po:po + pw] = lvl_mean[j, src, k]
+                    pk_bw[j * d + k, po:po + pw] = lvl_bw[j, src, k]
+                pk_logw[j, po:po + nv] = lvl_logw[j, o:o + nv]
+                pk_perm[j, po:po + pw] = lvl_perm[j, src]
+        # chains-on-lanes kernel layout: candidates on sublanes
+        self.pk_mean = jnp.asarray(pk_mean.T.copy())      # [T_pk, dn*d]
+        self.pk_bw = jnp.asarray(pk_bw.T.copy())
+        self.pk_logw = jnp.asarray(pk_logw.T.copy())      # [T_pk, dn]
+        self.pk_perm = jnp.asarray(pk_perm.T.copy())
+        # root stats (node 0): the chains' initial selection, [dn*d]
+        self.pk_root_mean = jnp.asarray(
+            t_mean[:, 0, :].reshape(-1).astype(np.float32))
+        self.pk_root_bw = jnp.asarray(
+            t_bw[:, 0, :].reshape(-1).astype(np.float32))
+
     @property
     def lvl_arrays(self):
         return (self.lvl_nodes, self.lvl_mean, self.lvl_bw, self.lvl_logw)
@@ -364,7 +409,8 @@ def prod_appx_ms_gibbs(npd0,
                        rand_n: Optional[np.ndarray] = None,
                        record_labels: bool = False,
                        key=None,
-                       dtype=None):
+                       dtype=None,
+                       use_pallas="auto"):
     """Draw samples from (an approximation of) the product of ``densities``.
 
     Mirrors the reference ``prodAppxMSGibbsS`` (src/MSGibbs01.jl:645-703):
@@ -397,9 +443,10 @@ def prod_appx_ms_gibbs(npd0,
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
     if partial_dim_mask is None:
-        mask = jnp.ones((dn, d), dtype=bool)
+        mask_np = np.ones((dn, d), dtype=bool)
     else:
-        mask = jnp.asarray(np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d))
+        mask_np = np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d)
+    mask = jnp.asarray(mask_np)
 
     addop_t = manifolds.broadcast_ops(addop, d)
     diffop_t = manifolds.broadcast_ops(diffop, d)
@@ -429,13 +476,29 @@ def prod_appx_ms_gibbs(npd0,
         u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
         n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
-    pts, idx, labels = _gibbs_all_chains(
-        u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
-        plan.t_perm, mask,
-        offsets=tuple(plan.offsets),
-        n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
-        addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
-        get_lambda=get_lambda_t, add_entropy=add_entropy)
+    from . import gibbs_pallas
+    if use_pallas == "auto":
+        # Measured on TPU v5e through the axon runtime: the single fused XLA
+        # program (one dispatch, fully pipelined) outruns the per-level
+        # Pallas kernels at every size tried (0.83 ms vs 2.9 ms per
+        # 2x1000-comp product), so the jnp path is the default.  The Pallas
+        # path remains available for explicit opt-in / experimentation.
+        use_pallas = False
+    if use_pallas:
+        use_pallas = gibbs_pallas.pallas_supported(
+            plan, dtype, addop_t, diffop_t, get_mu_t, get_lambda_t, rand_u)
+    if use_pallas:
+        pts, idx, labels = gibbs_pallas.run_product(
+            plan, mask_np, u, n_, n_iter=n_iter, add_entropy=add_entropy,
+            n_out=n_out)
+    else:
+        pts, idx, labels = _gibbs_all_chains(
+            u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
+            plan.t_perm, mask,
+            offsets=tuple(plan.offsets),
+            n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
+            addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
+            get_lambda=get_lambda_t, add_entropy=add_entropy)
 
     out = (pts.T, idx.T)                                        # [d,Np], [dn,Np]
     if record_labels:
@@ -473,7 +536,7 @@ class ProductSampler:
 
     def __init__(self, densities: Sequence[KDE], n_out: int,
                  n_iter: int = 5, add_entropy: bool = True,
-                 partial_dim_mask=None, dtype=None):
+                 partial_dim_mask=None, dtype=None, use_pallas="auto"):
         self.densities = list(densities)
         if dtype is None:
             dtype = self.densities[0].points.dtype
@@ -484,12 +547,19 @@ class ProductSampler:
         self.plan = _get_plan(self.densities, n_out, dtype)
         dn, d = self.plan.ndens, self.plan.ndim
         if partial_dim_mask is None:
-            self.mask = jnp.ones((dn, d), dtype=bool)
+            self.mask_np = np.ones((dn, d), dtype=bool)
         else:
-            self.mask = jnp.asarray(
-                np.asarray(partial_dim_mask, bool).reshape(dn, d))
+            self.mask_np = np.asarray(partial_dim_mask, bool).reshape(dn, d)
+        self.mask = jnp.asarray(self.mask_np)
         self.bu = dn * (1 + self.plan.n_levels * (1 + n_iter))
         self.bn = d * (self.plan.n_levels + 1)
+        from . import gibbs_pallas
+        if use_pallas == "auto":
+            use_pallas = False          # jnp path wins (see prod_appx_ms_gibbs)
+        if use_pallas:
+            use_pallas = gibbs_pallas.pallas_supported(
+                self.plan, dtype, None, None, None, None, None)
+        self.use_pallas = bool(use_pallas)
 
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
@@ -497,10 +567,16 @@ class ProductSampler:
         u = jax.random.uniform(ku, (self.n_out, self.bu), dtype=self.dtype)
         n_ = jax.random.normal(kn, (self.n_out, self.bn), dtype=self.dtype)
         p = self.plan
-        pts, idx, _ = _gibbs_all_chains(
-            u, n_, p.lvl_arrays, p.t_mean, p.t_bw, p.t_down, p.t_perm,
-            self.mask, offsets=tuple(p.offsets),
-            n_iter=self.n_iter, ndens=p.ndens, ndim=p.ndim,
-            n_levels=p.n_levels, addop=None, diffop=None, get_mu=None,
-            get_lambda=None, add_entropy=self.add_entropy)
+        if self.use_pallas:
+            from . import gibbs_pallas
+            pts, idx, _ = gibbs_pallas.run_product(
+                p, self.mask_np, u, n_, n_iter=self.n_iter,
+                add_entropy=self.add_entropy, n_out=self.n_out)
+        else:
+            pts, idx, _ = _gibbs_all_chains(
+                u, n_, p.lvl_arrays, p.t_mean, p.t_bw, p.t_down, p.t_perm,
+                self.mask, offsets=tuple(p.offsets),
+                n_iter=self.n_iter, ndens=p.ndens, ndim=p.ndim,
+                n_levels=p.n_levels, addop=None, diffop=None, get_mu=None,
+                get_lambda=None, add_entropy=self.add_entropy)
         return pts.T, idx.T

@@ -18,8 +18,10 @@ chip sees one big fused kernel per probe instead of d*~25 tiny ones.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,42 +34,63 @@ _R = 1.0 - _C                     # (reference src/CrossValidation.jl:51-52)
 
 def golden_batched(f, ax, bx, cx, tol):
     """Vectorized golden-section minimization over a batch of independent 1-D
-    problems.  ``f`` maps a batch vector ``x -> f(x)`` elementwise; ``ax < bx
-    < cx`` bracket each minimum.  Mirrors the reference's scalar ``golden``
-    (src/CrossValidation.jl:44-98) with per-element masked updates, so each
-    element follows exactly the trajectory the scalar algorithm would.
-    """
-    ax, bx, cx = (np.asarray(v, dtype=np.float64) for v in (ax, bx, cx))
-    x0, x3 = ax.copy(), cx.copy()
-    wide_right = np.abs(cx - bx) > np.abs(bx - ax)
-    x1 = np.where(wide_right, bx, bx - _C * (bx - ax))
-    x2 = np.where(wide_right, bx + _C * (cx - bx), bx)
-    f1 = np.asarray(f(x1), dtype=np.float64)
-    f2 = np.asarray(f(x2), dtype=np.float64)
+    problems.  ``f`` maps a batch vector ``x -> f(x)`` elementwise (must be
+    jax-traceable); ``ax < bx < cx`` bracket each minimum.  Mirrors the
+    reference's scalar ``golden`` (src/CrossValidation.jl:44-98) with
+    per-element masked updates, so each element follows exactly the
+    trajectory the scalar algorithm would.
 
-    while True:
-        active = np.abs(x3 - x0) > tol * (np.abs(x1) + np.abs(x2))
-        if not active.any():
-            break
+    The entire search runs device-resident as one ``lax.while_loop``: zero
+    device->host reads until the final result fetch.  (On the axon
+    remote-TPU runtime a mid-loop readback costs a ~30 ms round trip per
+    probe AND permanently degrades the process's dispatch pipelining --
+    see BASELINE.md "device->host transfer cliff".)
+    """
+    xmin, fmin = _golden_core(f, jnp.asarray(ax), jnp.asarray(bx),
+                              jnp.asarray(cx), float(tol))
+    return np.asarray(xmin), np.asarray(fmin)
+
+
+def _golden_core(f, ax, bx, cx, tol):
+    """Traceable core of :func:`golden_batched` (jnp in, jnp out)."""
+    from jax import lax
+
+    ft = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    ax, bx, cx = (jnp.asarray(v, dtype=ft) for v in (ax, bx, cx))
+    x0, x3 = ax, cx
+    wide_right = jnp.abs(cx - bx) > jnp.abs(bx - ax)
+    x1 = jnp.where(wide_right, bx, bx - _C * (bx - ax))
+    x2 = jnp.where(wide_right, bx + _C * (cx - bx), bx)
+    f1 = jnp.asarray(f(x1), dtype=ft)
+    f2 = jnp.asarray(f(x2), dtype=ft)
+
+    def cond(st):
+        x0, x1, x2, x3, f1, f2 = st
+        return jnp.any(jnp.abs(x3 - x0) > tol * (jnp.abs(x1) + jnp.abs(x2)))
+
+    def body(st):
+        x0, x1, x2, x3, f1, f2 = st
+        active = jnp.abs(x3 - x0) > tol * (jnp.abs(x1) + jnp.abs(x2))
         take2 = (f2 < f1) & active
         take1 = (~take2) & active
         # branch A (f2 < f1): slide bracket right
-        nx0 = np.where(take2, x1, x0)
-        nx1 = np.where(take2, x2, x1)
-        nx2 = np.where(take2, _R * x2 + _C * x3, x2)
-        nx3 = x3.copy()
+        nx0 = jnp.where(take2, x1, x0)
+        nx1 = jnp.where(take2, x2, x1)
+        nx2 = jnp.where(take2, _R * x2 + _C * x3, x2)
         # branch B: slide bracket left
-        nx3 = np.where(take1, x2, nx3)
-        nx2 = np.where(take1, x1, nx2)
-        nx1 = np.where(take1, _R * x1 + _C * x0, nx1)
-        probe = np.where(take2, nx2, nx1)            # the single new point per element
-        fp = np.asarray(f(probe), dtype=np.float64)
-        nf1 = np.where(take2, f2, np.where(take1, fp, f1))
-        nf2 = np.where(take2, fp, np.where(take1, f1, f2))
-        x0, x1, x2, x3, f1, f2 = nx0, nx1, nx2, nx3, nf1, nf2
+        nx3 = jnp.where(take1, x2, x3)
+        nx2 = jnp.where(take1, x1, nx2)
+        nx1 = jnp.where(take1, _R * x1 + _C * x0, nx1)
+        probe = jnp.where(take2, nx2, nx1)       # one new point per element
+        fp = jnp.asarray(f(probe), dtype=ft)
+        nf1 = jnp.where(take2, f2, jnp.where(take1, fp, f1))
+        nf2 = jnp.where(take2, fp, jnp.where(take1, f1, f2))
+        return nx0, nx1, nx2, nx3, nf1, nf2
 
-    xmin = np.where(f1 < f2, x1, x2)
-    fmin = np.minimum(f1, f2)
+    x0, x1, x2, x3, f1, f2 = lax.while_loop(
+        cond, body, (x0, x1, x2, x3, f1, f2))
+    xmin = jnp.where(f1 < f2, x1, x2)
+    fmin = jnp.minimum(f1, f2)
     return xmin, fmin
 
 
@@ -101,14 +124,23 @@ def ksize_bandwidths(points: np.ndarray,
     base_var = jnp.asarray(base ** 2, dtype=dtype)
     w_j = jnp.asarray(w, dtype=dtype)
 
+    xmin = _ksize_search(pts_t, base_var, w_j, jnp.asarray(ax),
+                         jnp.asarray(bx), jnp.asarray(cx), tol=float(tol))
+    return np.asarray(xmin) * base                   # std-dev bandwidths
+
+
+@functools.partial(jax.jit, static_argnames=("tol",))
+def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol):
+    """The full vectorized golden search as ONE jitted program (cached across
+    fits with the same shapes): zero host round-trips until the caller reads
+    the selected bandwidths."""
     def nloo(x):
         # nLOO_LL scales the *variance* by alpha^2 where alpha = x^2 is in
         # std units (reference src/CrossValidation.jl:15-24): var = base^2 x^2
-        scale = jnp.asarray(np.asarray(x) ** 2, dtype=dtype)
+        scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
         return batched_loo_entropy(pts_t, scale, base_var, w_j)
-
-    xmin, _ = golden_batched(nloo, ax, bx, cx, tol)
-    return xmin * base                               # std-dev bandwidths
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
+    return xmin
 
 
 def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
