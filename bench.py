@@ -40,27 +40,29 @@ def main():
     trees = [p.tree for p in dens]          # host precompute outside timing
 
     # --- TPU engine ---------------------------------------------------------
-    # CRITICAL: no device->host transfer may happen before or during the
-    # timed section.  On the axon remote-TPU runtime, a single D2H read
-    # permanently switches the process from pipelined dispatch (~20 us/call
-    # overhead) to synchronous round-trips (~1 ms/call) -- a measured ~9x
-    # throughput cliff on this workload.  Tree precompute above uses the
-    # KDE's retained host arrays (no readback); sanity checks run after
-    # timing.  block_until_ready is safe (sync without transfer).
+    # TIMING HONESTY: on the axon remote-TPU runtime, jax.block_until_ready
+    # returns when the dispatch journal accepts the work -- NOT when the
+    # device finishes (measured: "block-only" timing reports ~0.8 ms/call
+    # while actual completion takes ~15 ms/call).  The only trustworthy
+    # fence is a data dependency: reduce every output to one scalar and
+    # fetch it inside the timed window.  The single fetch also pins the
+    # process's dispatch mode, so every round sees the same regime.
     key = jax.random.PRNGKey(0)
-    # warmup/compile
+    # warmup/compile (with a real completion fence)
     out = prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=key)
-    jax.block_until_ready(out)
-    # pipelined steady-state throughput: dispatch all reps with distinct
-    # keys, sync once; best of 4 rounds to damp tunnel jitter
-    reps = 50
+    float(np.asarray(out[0][0, 0]))
+    # steady-state throughput: queue all reps with distinct keys, then force
+    # full completion via a dependent scalar; best of 6 rounds to damp
+    # tunnel congestion episodes
+    reps = 20
     tpu_rate = 0.0
-    for rnd in range(4):
+    for rnd in range(6):
         keys = [jax.random.PRNGKey(1000 * rnd + r + 1) for r in range(reps)]
         t0 = time.perf_counter()
         outs = [prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER, key=k)
                 for k in keys]
-        jax.block_until_ready(outs)
+        fence = jnp.sum(jnp.stack([o[0].sum() for o in outs]))
+        float(np.asarray(fence))                 # completion fence
         dt = (time.perf_counter() - t0) / reps
         tpu_rate = max(tpu_rate, N_OUT / dt)
     out = outs[-1]
