@@ -293,6 +293,31 @@ def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
     return jax.vmap(chain)(u, n_)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
+                     "ndim", "n_levels", "addop", "diffop", "get_mu",
+                     "get_lambda", "add_entropy", "dtype"))
+def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
+                    n_out, bu, bn, offsets, n_iter, ndens, ndim, n_levels,
+                    addop, diffop, get_mu, get_lambda, add_entropy, dtype):
+    """Single-dispatch product: RNG stream generation + all chains + output
+    transposes fused into ONE executable.  On the axon remote runtime each
+    eager dispatch costs a ~1 ms round trip once any result has been
+    fetched, so the keyed (non-replay) path folds everything into one
+    program (measured: ~25% per-product latency reduction)."""
+    ku, kn = jax.random.split(key)
+    u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
+    n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
+
+    def chain(u_row, n_row):
+        return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
+                          t_down, t_perm, mask, n_iter, ndens, ndim, n_levels,
+                          addop, diffop, get_mu, get_lambda, add_entropy)
+    pts, idx, labels = jax.vmap(chain)(u, n_)
+    return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
+
+
 def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw, t_down, t_perm,
                mask, n_iter, ndens, ndim, n_levels,
                addop, diffop, get_mu, get_lambda, add_entropy):
@@ -460,8 +485,38 @@ def prod_appx_ms_gibbs(npd0,
        manifolds.is_euclidean(get_mu_t, manifolds.euclid_mu):
         get_mu_t = get_lambda_t = None
 
+    from . import gibbs_pallas
+    if use_pallas == "auto":
+        # Measured on TPU v5e through the axon runtime (completion-forced,
+        # interleaved A/B): the single fused XLA program outruns the
+        # per-level Pallas kernels (~15 ms vs ~42 ms per 2x1000-comp
+        # product), so the jnp path is the default.  The Pallas path remains
+        # available for explicit opt-in / experimentation.
+        use_pallas = False
+    if use_pallas:
+        use_pallas = gibbs_pallas.pallas_supported(
+            plan, dtype, addop_t, diffop_t, get_mu_t, get_lambda_t, rand_u)
+
     bu = dn * (1 + n_levels * (1 + n_iter))
     bn = d * (n_levels + 1)
+    if rand_u is None and not use_pallas:
+        # keyed fast path: stream generation + chains + transposes fused
+        # into ONE dispatch (each eager op costs a round trip on the axon
+        # runtime once any result has been fetched)
+        key = ensure_key(key)
+        pts_t, idx_t, labels_t = _gibbs_from_key(
+            key, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
+            plan.t_perm, mask,
+            n_out=n_out, bu=bu, bn=bn, offsets=tuple(plan.offsets),
+            n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
+            addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
+            get_lambda=get_lambda_t, add_entropy=add_entropy,
+            dtype=jnp.dtype(dtype).name)
+        out = (pts_t, idx_t)
+        if record_labels:
+            out = out + (labels_t,)
+        return out
+
     if rand_u is not None:
         # replay mode: streams may be over-allocated (the reference sizes
         # randU at Np*Ndens*(Niter+2)*Nlevels, src/MSGibbs01.jl:661); only the
@@ -476,17 +531,6 @@ def prod_appx_ms_gibbs(npd0,
         u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
         n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
-    from . import gibbs_pallas
-    if use_pallas == "auto":
-        # Measured on TPU v5e through the axon runtime: the single fused XLA
-        # program (one dispatch, fully pipelined) outruns the per-level
-        # Pallas kernels at every size tried (0.83 ms vs 2.9 ms per
-        # 2x1000-comp product), so the jnp path is the default.  The Pallas
-        # path remains available for explicit opt-in / experimentation.
-        use_pallas = False
-    if use_pallas:
-        use_pallas = gibbs_pallas.pallas_supported(
-            plan, dtype, addop_t, diffop_t, get_mu_t, get_lambda_t, rand_u)
     if use_pallas:
         pts, idx, labels = gibbs_pallas.run_product(
             plan, mask_np, u, n_, n_iter=n_iter, add_entropy=add_entropy,
@@ -563,20 +607,23 @@ class ProductSampler:
 
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
-        ku, kn = jax.random.split(key)
-        u = jax.random.uniform(ku, (self.n_out, self.bu), dtype=self.dtype)
-        n_ = jax.random.normal(kn, (self.n_out, self.bn), dtype=self.dtype)
         p = self.plan
         if self.use_pallas:
             from . import gibbs_pallas
+            ku, kn = jax.random.split(key)
+            u = jax.random.uniform(ku, (self.n_out, self.bu),
+                                   dtype=self.dtype)
+            n_ = jax.random.normal(kn, (self.n_out, self.bn),
+                                   dtype=self.dtype)
             pts, idx, _ = gibbs_pallas.run_product(
                 p, self.mask_np, u, n_, n_iter=self.n_iter,
                 add_entropy=self.add_entropy, n_out=self.n_out)
-        else:
-            pts, idx, _ = _gibbs_all_chains(
-                u, n_, p.lvl_arrays, p.t_mean, p.t_bw, p.t_down, p.t_perm,
-                self.mask, offsets=tuple(p.offsets),
-                n_iter=self.n_iter, ndens=p.ndens, ndim=p.ndim,
-                n_levels=p.n_levels, addop=None, diffop=None, get_mu=None,
-                get_lambda=None, add_entropy=self.add_entropy)
-        return pts.T, idx.T
+            return pts.T, idx.T
+        pts_t, idx_t, _ = _gibbs_from_key(
+            key, p.lvl_arrays, p.t_mean, p.t_bw, p.t_down, p.t_perm,
+            self.mask, n_out=self.n_out, bu=self.bu, bn=self.bn,
+            offsets=tuple(p.offsets), n_iter=self.n_iter, ndens=p.ndens,
+            ndim=p.ndim, n_levels=p.n_levels, addop=None, diffop=None,
+            get_mu=None, get_lambda=None, add_entropy=self.add_entropy,
+            dtype=jnp.dtype(self.dtype).name)
+        return pts_t, idx_t
