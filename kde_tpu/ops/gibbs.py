@@ -112,6 +112,7 @@ class _ProductPlan:
         lvl_bw = t_bw[idx_j, nodes_cat]
         lvl_logw = (np.log(np.maximum(t_wt[idx_j, nodes_cat], 1e-300))
                     + np.where(valid_cat, 0.0, -np.inf))  # [dn, T]
+        lvl_perm_np = t_perm[idx_j, nodes_cat]            # [dn, T]
 
         as_dev = lambda x, dt=dtype: jnp.asarray(x, dtype=dt)
         self.t_mean = as_dev(t_mean)
@@ -122,6 +123,12 @@ class _ProductPlan:
         self.lvl_mean = as_dev(lvl_mean)
         self.lvl_bw = as_dev(lvl_bw)
         self.lvl_logw = as_dev(lvl_logw)
+        # stacked (mean ++ bw) stats and per-level permutation ids: the chain
+        # kernel reads selected-node stats/labels by one-hot reduction against
+        # these, eliminating all per-chain index gathers (XLA gathers cost a
+        # full kernel launch each -- the latency-bound regime's dominant tax)
+        self.lvl_ms = jnp.concatenate([self.lvl_mean, self.lvl_bw], axis=-1)
+        self.lvl_perm = jnp.asarray(lvl_perm_np.astype(np.int32))
 
         # Packed float32 arrays for the fused Pallas kernels
         # (ops/gibbs_pallas.py): stats flattened to [dn*d, T_pk] with
@@ -170,7 +177,8 @@ class _ProductPlan:
 
     @property
     def lvl_arrays(self):
-        return (self.lvl_nodes, self.lvl_mean, self.lvl_bw, self.lvl_logw)
+        return (self.lvl_nodes, self.lvl_mean, self.lvl_bw, self.lvl_logw,
+                self.lvl_ms, self.lvl_perm)
 
 
 # Plan cache: keyed by the identity of the participating densities and the
@@ -323,20 +331,24 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw, t_down, t_perm,
                addop, diffop, get_mu, get_lambda, add_entropy):
     """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
     chain's pre-generated uniform/normal streams, laid out in the reference's
-    consumption order (see module docstring)."""
+    consumption order (see module docstring).
+
+    Op-count discipline: on the axon runtime this program is bound by the
+    latency of sequential kernel launches (~6.5 us each), so the level loop
+    avoids every per-chain index gather -- selected-node stats come from a
+    one-hot masked reduction against the stacked level stats ``lvl_ms``
+    (exact: one nonzero term), labels from the precomputed per-level
+    permutation ids ``lvl_perm``, and the reference's ``levelDown!`` label
+    remap (src/MSGibbs01.jl:512-513) is dropped entirely because the
+    conditioning re-selection immediately overwrites it (it consumes no
+    randomness; dead in the reference too)."""
     f = t_mean.dtype
 
     # [dn, d]: OR of the *other* densities' masks (the LOO dimmask of
     # makeFasterSampleIndex!, reference src/MSGibbs01.jl:270-275)
     union_other = jnp.stack([jnp.any(mask.at[j].set(False), axis=0)
                              for j in range(ndens)])
-
-    def gather_sel(ind):
-        """particles/variance for current labels, zeroed at inactive dims
-        (updateGlbParticlesVariance!, reference src/MSGibbs01.jl:89-107)."""
-        mu = t_mean[jnp.arange(ndens), ind]                     # [dn, d]
-        var = t_bw[jnp.arange(ndens), ind]
-        return jnp.where(mask, mu, 0.0), jnp.where(mask, var, 0.0)
+    act_all = mask & union_other
 
     def sample_point(mu_sel, var_sel, normals, jitter):
         mu, cov = _gauss_product(mu_sel, var_sel, mask, -1, get_mu, get_lambda)
@@ -355,62 +367,74 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw, t_down, t_perm,
                [:, ndens:].reshape(n_levels, n_iter, ndens))
     normals = n_row.reshape(n_levels + 1, ndim)
 
-    ind = jnp.zeros(ndens, dtype=jnp.int32)                     # all roots
-    mu_sel, var_sel = gather_sel(ind)
-    x = jnp.zeros(ndim, dtype=f)
+    # initial selection: every tree's root (node 0); its stats are static
+    # slices (updateGlbParticlesVariance!, reference src/MSGibbs01.jl:89-107)
+    mu_sel = jnp.where(mask, t_mean[:, 0, :], 0.0)              # [dn, d]
+    var_sel = jnp.where(mask, t_bw[:, 0, :], 0.0)
+    perms = jnp.zeros(ndens, dtype=jnp.int32)
     labels_rec = []
 
-    lvl_nodes_cat, lvl_mean_cat, lvl_bw_cat, lvl_logw_cat = lvl_arrays
+    _, lvl_mean_cat, lvl_bw_cat, lvl_logw_cat, lvl_ms_cat, lvl_perm_cat = \
+        lvl_arrays
+
+    def select_stats(onehot, lvl_ms_j, lvl_perm_j, mask_j):
+        """Selected node's (mean, var) and permutation id by one-hot masked
+        reduction -- exact (single nonzero term), no gather kernels."""
+        sel = jnp.sum(jnp.where(onehot[:, None], lvl_ms_j, 0.0), axis=0)
+        nm = jnp.where(mask_j, sel[:ndim], 0.0)
+        nv = jnp.where(mask_j, sel[ndim:], 0.0)
+        perm = jnp.sum(jnp.where(onehot, lvl_perm_j, 0))
+        return nm, nv, perm
+
     for l in range(1, n_levels + 1):
         o, w = offsets[l - 1]
-        lvl = dict(nodes=lvl_nodes_cat[:, o:o + w],
-                   mean=lvl_mean_cat[:, o:o + w],
-                   bw=lvl_bw_cat[:, o:o + w],
-                   logw=lvl_logw_cat[:, o:o + w])
+        lvl_mean = lvl_mean_cat[:, o:o + w]
+        lvl_bw = lvl_bw_cat[:, o:o + w]
+        lvl_logw = lvl_logw_cat[:, o:o + w]
+        lvl_ms = lvl_ms_cat[:, o:o + w]
+        lvl_perm = lvl_perm_cat[:, o:o + w]
+        iota_w = jnp.arange(w)
         # (1) draw X from the product of current selections (:594)
         x = sample_point(mu_sel, var_sel, normals[l - 1], True)
-        # (2) descend one level (:597)
-        ind = t_down[jnp.arange(ndens), ind].astype(jnp.int32)
-        # (3) re-select labels conditioned on X -- independent across
-        #     densities (sampleIndices!, :600; no LOO, no product covariance)
-        def cond_one(j):
-            act = mask[j] & union_other[j]
-            logits = _kernel_logits(lvl["mean"][j], lvl["bw"][j],
-                                    lvl["logw"][j], x, None, act,
-                                    diffop, with_cov=False)
-            return _select_label(u_cond[l - 1, j], logits)
-        zs = jnp.stack([cond_one(j) for j in range(ndens)])
-        ind = lvl["nodes"][jnp.arange(ndens), zs].astype(jnp.int32)
-        mu_sel, var_sel = gather_sel(ind)
+        # (2) levelDown! remap is dead (see docstring); (3) re-select labels
+        # conditioned on X, batched over densities (sampleIndices!, :600;
+        # no LOO, no product covariance)
+        logits = jax.vmap(
+            lambda m, b, lw, a: _kernel_logits(m, b, lw, x, None, a,
+                                               diffop, with_cov=False)
+        )(lvl_mean, lvl_bw, lvl_logw, act_all)                  # [dn, w]
+        zs = jax.vmap(_select_label)(u_cond[l - 1], logits)     # [dn]
+        onehot = iota_w[None, :] == zs[:, None]                 # [dn, w]
+        sel = jnp.sum(jnp.where(onehot[:, :, None], lvl_ms, 0.0), axis=1)
+        mu_sel = jnp.where(mask, sel[:, :ndim], 0.0)
+        var_sel = jnp.where(mask, sel[:, ndim:], 0.0)
+        perms = jnp.sum(jnp.where(onehot, lvl_perm, 0), axis=1)
 
         # (4) Niter sweeps of sequential LOO Gibbs over densities (:604-608)
-        def sweep(t, carry):
-            ind, mu_sel, var_sel = carry
-            def upd(j, carry):
-                ind, mu_sel, var_sel = carry
+        def sweep(t, carry, lvl_mean=lvl_mean, lvl_bw=lvl_bw,
+                  lvl_logw=lvl_logw, lvl_ms=lvl_ms, lvl_perm=lvl_perm,
+                  iota_w=iota_w, l=l):
+            mu_sel, var_sel, perms = carry
+            for j in range(ndens):
                 mu, cov = _gauss_product(mu_sel, var_sel, mask, j,
                                          get_mu, get_lambda)
-                act = mask[j] & union_other[j]
-                logits = _kernel_logits(lvl["mean"][j], lvl["bw"][j],
-                                        lvl["logw"][j], mu, cov, act,
+                logits = _kernel_logits(lvl_mean[j], lvl_bw[j],
+                                        lvl_logw[j], mu, cov, act_all[j],
                                         diffop, with_cov=True)
                 z = _select_label(u_gibbs[l - 1, t, j], logits)
-                node = lvl["nodes"][j, z].astype(jnp.int32)
-                ind = ind.at[j].set(node)
-                nm = jnp.where(mask[j], t_mean[j, node], 0.0)
-                nv = jnp.where(mask[j], t_bw[j, node], 0.0)
-                return ind, mu_sel.at[j].set(nm), var_sel.at[j].set(nv)
-            for j in range(ndens):
-                carry = upd(j, (ind, mu_sel, var_sel))
-                ind, mu_sel, var_sel = carry
-            return ind, mu_sel, var_sel
+                nm, nv, perm = select_stats(iota_w == z, lvl_ms[j],
+                                            lvl_perm[j], mask[j])
+                mu_sel = mu_sel.at[j].set(nm)
+                var_sel = var_sel.at[j].set(nv)
+                perms = perms.at[j].set(perm)
+            return mu_sel, var_sel, perms
         if n_iter > 0:   # static; fori_loop would still trace an empty body
-            ind, mu_sel, var_sel = jax.lax.fori_loop(
-                0, n_iter, sweep, (ind, mu_sel, var_sel))
-        labels_rec.append(t_perm[jnp.arange(ndens), ind])
+            mu_sel, var_sel, perms = jax.lax.fori_loop(
+                0, n_iter, sweep, (mu_sel, var_sel, perms))
+        labels_rec.append(perms)
 
     # final labels + final draw (:612-625)
-    final_idx = t_perm[jnp.arange(ndens), ind]
+    final_idx = labels_rec[-1]
     x = sample_point(mu_sel, var_sel, normals[n_levels], add_entropy)
     return x, final_idx, jnp.stack(labels_rec)                  # [d],[dn],[L,dn]
 
