@@ -428,9 +428,19 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw, t_down, t_perm,
                 var_sel = var_sel.at[j].set(nv)
                 perms = perms.at[j].set(perm)
             return mu_sel, var_sel, perms
-        if n_iter > 0:   # static; fori_loop would still trace an empty body
-            mu_sel, var_sel, perms = jax.lax.fori_loop(
-                0, n_iter, sweep, (mu_sel, var_sel, perms))
+        # On accelerators the sweeps are unrolled (n_iter is static): every
+        # stream index becomes a static slice and XLA sees straight-line
+        # code -- worth ~1 op per stage in the latency-bound regime.  On CPU
+        # (the hermetic test mesh) the 5x-larger unrolled program only slows
+        # compilation, so keep lax.fori_loop there; the traced math is
+        # identical either way (same ops, same order).
+        if jax.default_backend() == "cpu":
+            if n_iter > 0:
+                mu_sel, var_sel, perms = jax.lax.fori_loop(
+                    0, n_iter, sweep, (mu_sel, var_sel, perms))
+        else:
+            for t in range(n_iter):
+                mu_sel, var_sel, perms = sweep(t, (mu_sel, var_sel, perms))
         labels_rec.append(perms)
 
     # final labels + final draw (:612-625)
