@@ -27,7 +27,8 @@ from . import manifolds
 
 # Gibbs product engine (the reference's prodAppxMSGibbsS and `*`,
 # src/MSGibbs01.jl:632-736)
-from .ops.gibbs import ProductSampler, prod_appx_ms_gibbs, product
+from .ops.gibbs import (BatchedProductSampler, ProductSampler,
+                        prod_appx_ms_gibbs, product)
 
 __all__ = [
     "KDE", "kde",
@@ -36,7 +37,8 @@ __all__ = [
     "get_kde_fit",
     "sample", "sample_at", "rand_kde", "resample",
     "to_string", "from_string", "save_kde", "load_kde",
-    "ProductSampler", "prod_appx_ms_gibbs", "product",
+    "BatchedProductSampler", "ProductSampler", "prod_appx_ms_gibbs",
+    "product",
     "evaluate_dual_tree", "ksize", "nloo_ll",
     "FlatBallTree", "build_balltree",
     "set_seed", "set_force_eval_direct", "manifolds",

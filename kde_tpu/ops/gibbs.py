@@ -600,6 +600,104 @@ def product(densities: Sequence[KDE],
     return kde(pts)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
+                     "ndim", "n_levels", "add_entropy", "dtype"))
+def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw, t_down, t_perm,
+                        mask, *, n_out, bu, bn, offsets, n_iter, ndens,
+                        ndim, n_levels, add_entropy, dtype):
+    """B independent products over B density sets in ONE dispatch: the plan
+    arrays carry a leading set axis and the whole keyed product is vmapped
+    over it.  ``key`` is split into one key per set, so set ``i``'s output
+    equals a standalone ``prod_appx_ms_gibbs`` call with ``split(key)[i]``."""
+    B = t_mean.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(k, lvl, tm, tb, td, tp, m):
+        return _gibbs_from_key(
+            k, lvl, tm, tb, td, tp, m, n_out=n_out, bu=bu, bn=bn,
+            offsets=offsets, n_iter=n_iter, ndens=ndens, ndim=ndim,
+            n_levels=n_levels, addop=None, diffop=None, get_mu=None,
+            get_lambda=None, add_entropy=add_entropy, dtype=dtype)
+    return jax.vmap(one)(keys, lvl_arrays, t_mean, t_bw, t_down, t_perm,
+                         mask)
+
+
+class BatchedProductSampler:
+    """Products of ``B`` same-shaped density sets in one dispatch.
+
+    The serving-path API for nonparametric belief propagation: every BP
+    iteration multiplies many message sets of identical shape (same number
+    of densities, dimensions, and components); batching them into a single
+    program amortizes the sampler's sequential level schedule, which is
+    latency-bound below ~4000 chains (BASELINE.md).  No reference
+    counterpart -- the reference generates each product serially.
+
+    All sets must share ``(ndens, ndim, per-position npts)``.  Use
+    :meth:`refresh` to swap in updated message densities (same shapes)
+    without recompilation.
+
+    >>> sampler = BatchedProductSampler([[p1, q1], [p2, q2]], n_out=1000)
+    >>> pts, labels = sampler.sample(jax.random.PRNGKey(0))
+    >>> pts.shape                    # [B, d, n_out]
+    """
+
+    def __init__(self, density_sets, n_out: int, n_iter: int = 5,
+                 add_entropy: bool = True, partial_dim_masks=None,
+                 dtype=None):
+        self.n_out = n_out
+        self.n_iter = n_iter
+        self.add_entropy = add_entropy
+        self.dtype = dtype
+        self._build(density_sets, partial_dim_masks)
+
+    def _build(self, density_sets, partial_dim_masks):
+        sets = [list(ds) for ds in density_sets]
+        if not sets:
+            raise ValueError("need at least one density set")
+        shapes = {(len(ds), ds[0].ndim, tuple(p.npts for p in ds))
+                  for ds in sets}
+        if len(shapes) != 1:
+            raise ValueError("all density sets must share "
+                             "(ndens, ndim, per-position npts); "
+                             f"got {sorted(shapes)}")
+        dtype = self.dtype or sets[0][0].points.dtype
+        plans = [_get_plan(ds, self.n_out, dtype) for ds in sets]
+        p0 = plans[0]
+        self.B = len(sets)
+        self.ndens, self.ndim = p0.ndens, p0.ndim
+        self.n_levels, self.offsets = p0.n_levels, tuple(p0.offsets)
+        self.lvl_arrays = tuple(jnp.stack(a)
+                                for a in zip(*(p.lvl_arrays for p in plans)))
+        self.t_mean = jnp.stack([p.t_mean for p in plans])
+        self.t_bw = jnp.stack([p.t_bw for p in plans])
+        self.t_down = jnp.stack([p.t_down for p in plans])
+        self.t_perm = jnp.stack([p.t_perm for p in plans])
+        if partial_dim_masks is None:
+            self.mask = jnp.ones((self.B, self.ndens, self.ndim), bool)
+        else:
+            self.mask = jnp.asarray(np.asarray(partial_dim_masks, bool)
+                                    .reshape(self.B, self.ndens, self.ndim))
+        self.bu = self.ndens * (1 + self.n_levels * (1 + self.n_iter))
+        self.bn = self.ndim * (self.n_levels + 1)
+        self._dtype_name = jnp.dtype(dtype).name
+
+    def refresh(self, density_sets, partial_dim_masks=None):
+        """Swap in updated densities (same shapes -> no recompilation)."""
+        self._build(density_sets, partial_dim_masks)
+
+    def sample(self, key):
+        """Returns (points [B, d, n_out], labels [B, ndens, n_out])."""
+        pts, idx, _ = _gibbs_batched_sets(
+            key, self.lvl_arrays, self.t_mean, self.t_bw, self.t_down,
+            self.t_perm, self.mask, n_out=self.n_out, bu=self.bu,
+            bn=self.bn, offsets=self.offsets, n_iter=self.n_iter,
+            ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
+            add_entropy=self.add_entropy, dtype=self._dtype_name)
+        return pts, idx
+
+
 class ProductSampler:
     """Reusable sampler for repeated products over the same densities.
 
