@@ -37,14 +37,17 @@ def run(total_chains: int = 4096, n_comp: int = 1000, n_iter: int = 5):
         out = prod_appx_ms_gibbs_sharded(mesh, total_chains, dens,
                                          n_iter=n_iter,
                                          key=jax.random.PRNGKey(0))
-        jax.block_until_ready(out)
+        float(np.asarray(out[0][0, 0]))         # completion fence (compile)
         reps = 5
         t0 = time.perf_counter()
         outs = [prod_appx_ms_gibbs_sharded(mesh, total_chains, dens,
                                            n_iter=n_iter,
                                            key=jax.random.PRNGKey(r))
                 for r in range(reps)]
-        jax.block_until_ready(outs)
+        # completion fence: block_until_ready does NOT wait for device
+        # completion on the axon runtime (BASELINE.md "timing honesty")
+        fence = jnp.sum(jnp.stack([o[0].sum() for o in outs]))
+        float(np.asarray(fence))
         rate = total_chains * reps / (time.perf_counter() - t0)
         results.append((s, rate))
         base = results[0][1]
