@@ -60,7 +60,7 @@ def main():
     # steady-state throughput: queue all reps with distinct keys, then force
     # full completion via a dependent scalar; best of 6 rounds to damp
     # tunnel congestion episodes
-    reps = 10
+    reps = 20
     tpu_rate = 0.0
     for rnd in range(6):
         keys = [jax.random.PRNGKey(1000 * rnd + r + 1) for r in range(reps)]

@@ -1,0 +1,2 @@
+
+from .debug import fence  # noqa: F401

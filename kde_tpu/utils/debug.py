@@ -58,3 +58,24 @@ def profile_trace(logdir: str = "/tmp/kde_tpu_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def fence(*outputs) -> float:
+    """Force device completion of ``outputs`` and return a checksum scalar.
+
+    ``jax.block_until_ready`` is NOT a completion fence on journaling remote
+    runtimes (e.g. the axon TPU tunnel: it returns when the dispatch journal
+    accepts the work).  The only reliable fence is a data dependency: reduce
+    every output to one scalar and fetch it.  Use this around timed sections
+    and before relying on side effects of queued work.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves = [l for l in jax.tree_util.tree_leaves(outputs)
+              if hasattr(l, "dtype")]
+    if not leaves:
+        return 0.0
+    acc = jnp.sum(jnp.stack([jnp.sum(l).astype(jnp.float32) for l in leaves]))
+    return float(np.asarray(acc))

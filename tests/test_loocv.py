@@ -63,3 +63,21 @@ def test_lcv_reasonable_bandwidth_scaling():
         x = rng.normal(size=n)
         bws.append(float(ksize_bandwidths(x[:, None], np.full(n, 1.0 / n))[0]))
     assert 0.05 < bws[1] < bws[0] < 1.0
+
+
+def test_lcv_2dvar_golden_fixture():
+    """2-D LOOCV against the reference's *disabled* golden fixture
+    (test/runtests.jl:238).  The old toolbox's dump holds ONE shared
+    bandwidth (0.028928 in both dims) for data whose per-dim scales differ
+    2x (std 2.67 vs 5.46); per-dim selection (ours, and the reference's
+    kde!) picks (≈0.0038, ≈0.237) whose geometric mean reproduces the
+    shared choice -- assert that consistency."""
+    x = load_points("test2Dvarlcv100.txt")          # [100, 2]
+    p = kde(x.T)
+    fx = load_fixture("test2Dvarlcv100Result.txt")
+    got_var = np.asarray(p.bw[0])                    # [2] selected variances
+    want_var = fx["bandwidth"].reshape(-1, 2)[100]   # shared leaf bandwidth
+    assert want_var[0] == want_var[1]
+    assert got_var.min() < want_var[0] < got_var.max()
+    gmean = float(np.sqrt(got_var[0] * got_var[1]))
+    assert want_var[0] * 0.5 < gmean < want_var[0] * 2.0

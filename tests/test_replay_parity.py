@@ -67,3 +67,22 @@ def test_replay_parity_no_entropy():
         4, dens, n_iter=3, rand_u=ru, rand_n=rn, add_entropy=False)
     np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
     np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
+
+
+def test_replay_parity_multibandwidth():
+    """Products of multi-bandwidth KDEs (per-kernel bw, reference
+    BallTreeDensity01.jl:209-224) run through the same tree-stat plan."""
+    rng = np.random.default_rng(11)
+    d, n = 2, 16
+    dens = []
+    for _ in range(2):
+        pts = rng.normal(size=(d, n))
+        bw = rng.uniform(0.2, 0.8, size=(d, n))     # per-kernel std-devs
+        dens.append(kde(pts, bw))
+    assert all(p.multibandwidth for p in dens)
+    ru, rn, _ = _streams(rng, 2, d, 8, 2, 16)
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [p.tree for p in dens], 8, 2, ru, rn)
+    pts_v, idx_v = prod_appx_ms_gibbs(8, dens, n_iter=2, rand_u=ru, rand_n=rn)
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
