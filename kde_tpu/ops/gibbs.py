@@ -23,8 +23,9 @@ TPU-first re-design:
     tree topology) are precomputed on host into dense padded arrays of
     cluster (mean, variance, weight) per level, and every per-level operation
     becomes a masked batched Gaussian evaluation + categorical draw;
-  * the data-dependent label remap of ``levelDown!`` (:512-513) becomes a
-    precomputed gather through ``down_map``;
+  * the data-dependent label remap of ``levelDown!`` (:512-513) is dropped:
+    the conditioning re-selection overwrites it before any read (dead in the
+    reference too, and it consumes no randomness);
   * all randomness is pre-generated per chain (uniform and normal streams,
     mirroring the reference's ``randU``/``randN`` buffers :661-662 and their
     cursor discipline), so externally injected streams reproduce a serial
@@ -288,7 +289,7 @@ def _select_label(u, logits):
     jax.jit,
     static_argnames=("offsets", "n_iter", "ndens", "ndim", "n_levels",
                      "addop", "diffop", "get_mu", "get_lambda", "add_entropy"))
-def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
+def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, mask, *,
                       offsets, n_iter, ndens, ndim, n_levels,
                       addop, diffop, get_mu, get_lambda, add_entropy):
     """All chains at once: vmap of the single-chain kernel.  Jitted with the
@@ -296,7 +297,7 @@ def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
     configuration reuse the compiled executable."""
     def chain(u_row, n_row):
         return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
-                          t_down, t_perm, mask, n_iter, ndens, ndim, n_levels,
+                          mask, n_iter, ndens, ndim, n_levels,
                           addop, diffop, get_mu, get_lambda, add_entropy)
     return jax.vmap(chain)(u, n_)
 
@@ -306,7 +307,7 @@ def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
                      "ndim", "n_levels", "addop", "diffop", "get_mu",
                      "get_lambda", "add_entropy", "dtype"))
-def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
+def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
                     n_out, bu, bn, offsets, n_iter, ndens, ndim, n_levels,
                     addop, diffop, get_mu, get_lambda, add_entropy, dtype):
     """Single-dispatch product: RNG stream generation + all chains + output
@@ -320,13 +321,13 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, t_down, t_perm, mask, *,
 
     def chain(u_row, n_row):
         return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
-                          t_down, t_perm, mask, n_iter, ndens, ndim, n_levels,
+                          mask, n_iter, ndens, ndim, n_levels,
                           addop, diffop, get_mu, get_lambda, add_entropy)
     pts, idx, labels = jax.vmap(chain)(u, n_)
     return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
 
 
-def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw, t_down, t_perm,
+def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                mask, n_iter, ndens, ndim, n_levels,
                addop, diffop, get_mu, get_lambda, add_entropy):
     """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
@@ -539,8 +540,7 @@ def prod_appx_ms_gibbs(npd0,
         # runtime once any result has been fetched)
         key = ensure_key(key)
         pts_t, idx_t, labels_t = _gibbs_from_key(
-            key, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
-            plan.t_perm, mask,
+            key, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
             n_out=n_out, bu=bu, bn=bn, offsets=tuple(plan.offsets),
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
             addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
@@ -571,8 +571,7 @@ def prod_appx_ms_gibbs(npd0,
             n_out=n_out)
     else:
         pts, idx, labels = _gibbs_all_chains(
-            u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
-            plan.t_perm, mask,
+            u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
             offsets=tuple(plan.offsets),
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
             addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
@@ -604,7 +603,7 @@ def product(densities: Sequence[KDE],
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
                      "ndim", "n_levels", "add_entropy", "dtype"))
-def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw, t_down, t_perm,
+def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
                         mask, *, n_out, bu, bn, offsets, n_iter, ndens,
                         ndim, n_levels, add_entropy, dtype):
     """B independent products over B density sets in ONE dispatch: the plan
@@ -614,14 +613,13 @@ def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw, t_down, t_perm,
     B = t_mean.shape[0]
     keys = jax.random.split(key, B)
 
-    def one(k, lvl, tm, tb, td, tp, m):
+    def one(k, lvl, tm, tb, m):
         return _gibbs_from_key(
-            k, lvl, tm, tb, td, tp, m, n_out=n_out, bu=bu, bn=bn,
+            k, lvl, tm, tb, m, n_out=n_out, bu=bu, bn=bn,
             offsets=offsets, n_iter=n_iter, ndens=ndens, ndim=ndim,
             n_levels=n_levels, addop=None, diffop=None, get_mu=None,
             get_lambda=None, add_entropy=add_entropy, dtype=dtype)
-    return jax.vmap(one)(keys, lvl_arrays, t_mean, t_bw, t_down, t_perm,
-                         mask)
+    return jax.vmap(one)(keys, lvl_arrays, t_mean, t_bw, mask)
 
 
 class BatchedProductSampler:
@@ -672,8 +670,6 @@ class BatchedProductSampler:
                                 for a in zip(*(p.lvl_arrays for p in plans)))
         self.t_mean = jnp.stack([p.t_mean for p in plans])
         self.t_bw = jnp.stack([p.t_bw for p in plans])
-        self.t_down = jnp.stack([p.t_down for p in plans])
-        self.t_perm = jnp.stack([p.t_perm for p in plans])
         if partial_dim_masks is None:
             self.mask = jnp.ones((self.B, self.ndens, self.ndim), bool)
         else:
@@ -690,8 +686,8 @@ class BatchedProductSampler:
     def sample(self, key):
         """Returns (points [B, d, n_out], labels [B, ndens, n_out])."""
         pts, idx, _ = _gibbs_batched_sets(
-            key, self.lvl_arrays, self.t_mean, self.t_bw, self.t_down,
-            self.t_perm, self.mask, n_out=self.n_out, bu=self.bu,
+            key, self.lvl_arrays, self.t_mean, self.t_bw,
+            self.mask, n_out=self.n_out, bu=self.bu,
             bn=self.bn, offsets=self.offsets, n_iter=self.n_iter,
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
             add_entropy=self.add_entropy, dtype=self._dtype_name)
@@ -752,7 +748,7 @@ class ProductSampler:
                 add_entropy=self.add_entropy, n_out=self.n_out)
             return pts.T, idx.T
         pts_t, idx_t, _ = _gibbs_from_key(
-            key, p.lvl_arrays, p.t_mean, p.t_bw, p.t_down, p.t_perm,
+            key, p.lvl_arrays, p.t_mean, p.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu, bn=self.bn,
             offsets=tuple(p.offsets), n_iter=self.n_iter, ndens=p.ndens,
             ndim=p.ndim, n_levels=p.n_levels, addop=None, diffop=None,

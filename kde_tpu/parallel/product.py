@@ -68,8 +68,7 @@ def prod_appx_ms_gibbs_sharded(mesh: Mesh,
     n_ = jax.device_put(n_, sh)
 
     pts, idx, _ = _g._gibbs_all_chains(
-        u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, plan.t_down,
-        plan.t_perm, mask,
+        u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
         offsets=tuple(plan.offsets),
         n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
         addop=None, diffop=None, get_mu=None, get_lambda=None,
