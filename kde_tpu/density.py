@@ -107,6 +107,28 @@ class KDE:
         """Kernel centers, ``[d, N]`` (reference orientation)."""
         return self.points.T
 
+    # host-preferring accessors: use the retained NumPy copies when present
+    # so result formatting / host-side math never forces a device readback
+    # (which permanently degrades dispatch on the axon runtime; BASELINE.md)
+
+    def host_points(self) -> np.ndarray:
+        """``[d, N]`` kernel centers as NumPy, without a device readback
+        when the host copy exists."""
+        if self._host_points is not None:
+            return self._host_points.T
+        return np.asarray(self.points, dtype=np.float64).T
+
+    def host_bw_std(self) -> np.ndarray:
+        """``[d, N]`` per-kernel std-dev bandwidths as NumPy."""
+        bw = (self._host_bw if self._host_bw is not None
+              else np.asarray(self.bw, dtype=np.float64))
+        return np.sqrt(bw).T
+
+    def host_weights(self) -> np.ndarray:
+        if self._host_weights is not None:
+            return self._host_weights
+        return np.asarray(self.weights, dtype=np.float64)
+
     def get_bw(self, ind=None) -> Array:
         """Per-kernel bandwidths as *standard deviations*, ``[d, N]`` or the
         selected columns (the reference's getBW takes the sqrt and accepts an

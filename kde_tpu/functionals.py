@@ -49,8 +49,8 @@ def kld(p1: KDE, p2: KDE, method: str = "direct") -> jnp.ndarray:
         return eval_avg_logl(p1, p1) - eval_avg_logl(p2, p1)
     if method == "unscented":
         d, n = p1.ndim, p1.npts
-        pts = np.asarray(p1.get_points(), dtype=np.float64)       # [d, N]
-        bwstd = np.asarray(p1.get_bw(), dtype=np.float64)         # [d, N]
+        pts = p1.host_points()                                    # [d, N]
+        bwstd = p1.host_bw_std()                                  # [d, N]
         pts_e = np.tile(pts, (1, 2 * d + 1))
         for i in range(d):
             pts_e[i, i * n:(i + 1) * n] += bwstd[i, :]
@@ -77,7 +77,7 @@ def get_kde_range(p, extend: float = 0.1) -> np.ndarray:
             rv[:, 0] = np.minimum(rv[:, 0], r2[:, 0])
             rv[:, 1] = np.maximum(rv[:, 1], r2[:, 1])
         return rv
-    pts = np.asarray(p.get_points(), dtype=np.float64)            # [d, N]
+    pts = p.host_points()            # [d, N]
     addop = p.addop or (manifolds.euclid_add,) * p.ndim
     diffop = p.diffop or (manifolds.euclid_diff,) * p.ndim
     rv = np.empty((p.ndim, 2))
@@ -107,13 +107,13 @@ def get_kde_max(p: KDE, n: int = 200) -> np.ndarray:
 
 
 def get_kde_mean(p: KDE) -> np.ndarray:
-    return np.asarray(p.get_points(), dtype=np.float64).mean(axis=1)
+    return p.host_points().mean(axis=1)
 
 
 def get_kde_fit(p: KDE) -> Tuple[np.ndarray, np.ndarray]:
     """MLE Gaussian fit to the points: (mean [d], cov [d, d])
     (reference src/DualTree01.jl:575-578 fits an MvNormal)."""
-    pts = np.asarray(p.get_points(), dtype=np.float64)
+    pts = p.host_points()
     mu = pts.mean(axis=1)
     xc = pts - mu[:, None]
     cov = xc @ xc.T / pts.shape[1]

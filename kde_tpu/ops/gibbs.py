@@ -274,10 +274,12 @@ def _select_label(u, logits):
     src/MSGibbs01.jl:330-351): first index whose CDF reaches ``u``.  The
     index is computed as a count of CDF entries below ``u`` (one vectorized
     compare+sum) rather than a binary search -- identical result, far
-    cheaper on the VPU."""
-    p = jax.nn.softmax(logits)
-    cdf = jnp.cumsum(p)
-    z = jnp.sum((cdf < u).astype(jnp.int32))
+    cheaper on the VPU.  The CDF is left unnormalized and ``u`` scaled by
+    the total instead (equal in exact arithmetic; saves one full-width
+    normalization pass per selection)."""
+    e = jnp.exp(logits - jnp.max(logits))
+    cdf = jnp.cumsum(e)
+    z = jnp.sum((cdf < u * cdf[-1]).astype(jnp.int32))
     return jnp.clip(z, 0, logits.shape[0] - 1)
 
 

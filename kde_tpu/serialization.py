@@ -21,8 +21,8 @@ from .density import KDE, kde
 
 
 def to_string(p: KDE) -> str:
-    pts = np.asarray(p.get_points(), dtype=np.float64)
-    bw = np.asarray(p.get_bw(), dtype=np.float64)[:, 0]
+    pts = p.host_points()
+    bw = p.host_bw_std()[:, 0]
     bw_s = "[" + ", ".join(repr(float(v)) for v in bw) + "]"
     rows = "; ".join(" ".join(repr(float(v)) for v in row) for row in pts)
     return f"KDE:{pts.shape[1]}:{bw_s}:[{rows}]"
