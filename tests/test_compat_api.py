@@ -63,3 +63,12 @@ def test_debug_dumpers(capsys):
     print_chain_state(pts, idx, labels, sample=0)
     out = capsys.readouterr().out
     assert "chain 0" in out and "level path" in out
+
+
+def test_fence_forces_completion():
+    """utils.fence reduces arbitrary pytrees to one fetched checksum."""
+    import jax.numpy as jnp
+    from kde_tpu.utils import fence
+    v = fence(jnp.ones((3, 3)), (jnp.zeros(4), jnp.arange(5)))
+    assert v == 9.0 + 0.0 + 10.0
+    assert fence() == 0.0
