@@ -645,11 +645,16 @@ class BatchedProductSampler:
 
     def __init__(self, density_sets, n_out: int, n_iter: int = 5,
                  add_entropy: bool = True, partial_dim_masks=None,
-                 dtype=None):
+                 dtype=None, mesh=None):
+        """``mesh``: optional 1-axis ``jax.sharding.Mesh``; the set axis is
+        sharded over it (each chip runs its sets' products -- the
+        graph-parallel axis of belief propagation).  ``B`` must divide the
+        mesh size."""
         self.n_out = n_out
         self.n_iter = n_iter
         self.add_entropy = add_entropy
         self.dtype = dtype
+        self.mesh = mesh
         self._build(density_sets, partial_dim_masks)
 
     def _build(self, density_sets, partial_dim_masks):
@@ -680,6 +685,15 @@ class BatchedProductSampler:
         self.bu = self.ndens * (1 + self.n_levels * (1 + self.n_iter))
         self.bn = self.ndim * (self.n_levels + 1)
         self._dtype_name = jnp.dtype(dtype).name
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = self.mesh.axis_names[0]
+            sh = NamedSharding(self.mesh, PartitionSpec(axis))
+            put = lambda x: jax.device_put(x, sh)
+            self.lvl_arrays = tuple(put(a) for a in self.lvl_arrays)
+            self.t_mean = put(self.t_mean)
+            self.t_bw = put(self.t_bw)
+            self.mask = put(self.mask)
 
     def refresh(self, density_sets, partial_dim_masks=None):
         """Swap in updated densities (same shapes -> no recompilation)."""

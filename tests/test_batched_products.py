@@ -64,3 +64,24 @@ def test_partial_dim_masks_per_set():
         pi, ii = prod_appx_ms_gibbs(16, sets[i], n_iter=2, key=keys[i],
                                     partial_dim_mask=masks[i])
         np.testing.assert_array_equal(np.asarray(ii), np.asarray(idx[i]))
+
+
+def test_set_sharded_equals_unsharded():
+    """Sharding the set axis over a mesh (graph-parallel BP deployment)
+    changes nothing: labels and points are exactly the unsharded ones."""
+    from jax.sharding import Mesh
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    B = n_dev
+    rng = np.random.default_rng(5)
+    sets = [[kde(rng.normal(size=(2, 32)) + i, [0.4], dtype=jnp.float32),
+             kde(rng.normal(size=(2, 32)), [0.4], dtype=jnp.float32)]
+            for i in range(B)]
+    mesh = Mesh(np.array(jax.devices()), ("sets",))
+    key = jax.random.PRNGKey(3)
+    p1, i1 = BatchedProductSampler(sets, n_out=16, n_iter=2,
+                                   mesh=mesh).sample(key)
+    p2, i2 = BatchedProductSampler(sets, n_out=16, n_iter=2).sample(key)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
