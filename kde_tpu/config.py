@@ -35,3 +35,19 @@ def set_force_eval_direct(flag: bool = False) -> None:
         _log.info("kde_tpu evaluates densities densely (exact); dual-tree "
                   "pruning does not exist on this backend and errTol is "
                   "accepted for compatibility only.")
+
+
+def enable_compilation_cache(path: str = "~/.cache/kde_tpu_xla") -> None:
+    """Opt-in persistent XLA compilation cache.
+
+    First-compile of the product program costs ~20-40 s on TPU; with a
+    persistent cache, repeat processes with the same shapes skip it.
+    """
+    import os
+
+    import jax
+
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
