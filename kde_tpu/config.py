@@ -41,7 +41,10 @@ def enable_compilation_cache(path: str = "~/.cache/kde_tpu_xla") -> None:
     """Opt-in persistent XLA compilation cache.
 
     First-compile of the product program costs ~20-40 s on TPU; with a
-    persistent cache, repeat processes with the same shapes skip it.
+    persistent cache, repeat processes with the same shapes can skip it.
+    (On the axon remote-compile runtime the win is small -- compilation
+    happens terminal-side -- but on directly-attached TPU hosts this
+    removes the recurring first-call cost.)
     """
     import os
 
