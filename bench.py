@@ -62,7 +62,7 @@ def main():
     # tunnel congestion episodes
     reps = 20
     tpu_rate = 0.0
-    for rnd in range(6):
+    for rnd in range(8):
         keys = [jax.random.PRNGKey(1000 * rnd + r + 1) for r in range(reps)]
         t0 = time.perf_counter()
         outs = [prod_appx_ms_gibbs(n_call, dens, n_iter=N_ITER, key=k)
