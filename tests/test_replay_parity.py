@@ -86,3 +86,43 @@ def test_replay_parity_multibandwidth():
     pts_v, idx_v = prod_appx_ms_gibbs(8, dens, n_iter=2, rand_u=ru, rand_n=rn)
     np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
     np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
+
+
+def test_replay_parity_randomized_grid():
+    """Breadth fuzz (fixed seed): random dims/density-counts/ragged
+    component counts/multibandwidth/partial masks/n_iter must all be
+    trace-exact vs the serial oracle.  (A 60-config sweep of this generator
+    passed 60/60; this keeps a 12-config slice as a fast regression.)"""
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        d = int(rng.integers(1, 5))
+        dn = int(rng.integers(2, 6))
+        ns = [int(rng.integers(2, 40)) for _ in range(dn)]
+        n_out = int(rng.integers(2, 24))
+        n_iter = int(rng.integers(0, 5))
+        multibw = rng.random() < 0.3
+        use_mask = rng.random() < 0.3 and d > 1
+        dens = []
+        for n in ns:
+            pts = rng.normal(size=(d, n)) * rng.uniform(0.5, 3)
+            bw = (rng.uniform(0.2, 1.0, size=(d, n)) if multibw
+                  else list(rng.uniform(0.2, 1.0, size=d)))
+            dens.append(kde(pts, bw, weights=rng.uniform(0.1, 1.0, size=n)))
+        mask = None
+        if use_mask:
+            while True:
+                mask = rng.random(size=(dn, d)) < 0.7
+                if mask.sum(axis=0).min() >= 2:
+                    break
+        max_np = max(ns + [n_out])
+        L = int(np.floor(np.log2(max_np))) + 1
+        ru = rng.uniform(size=n_out * dn * (1 + L * (1 + n_iter)))
+        rn = rng.normal(size=n_out * d * (L + 1))
+        ps, is_, _ = serial_gibbs_product([p.tree for p in dens], n_out,
+                                          n_iter, ru, rn,
+                                          partial_dim_mask=mask)
+        pv, iv = prod_appx_ms_gibbs(n_out, dens, n_iter=n_iter, rand_u=ru,
+                                    rand_n=rn, partial_dim_mask=mask)
+        np.testing.assert_array_equal(np.asarray(iv), is_,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(pv), ps, rtol=1e-9, atol=1e-12)
