@@ -103,11 +103,17 @@ class _ProductPlan:
         nodes_cat = np.zeros((dn, total), dtype=np.int64)
         valid_cat = np.zeros((dn, total), dtype=bool)
         for l in range(1, self.n_levels + 1):
-            o, _w = self.offsets[l - 1]
+            o, w = self.offsets[l - 1]
             for j in range(dn):
                 lst = per_tree_lists[j][l]
                 nodes_cat[j, o:o + len(lst)] = lst
                 valid_cat[j, o:o + len(lst)] = True
+                # padded slots replicate the last valid node (still -inf
+                # log-weight): if a floating-point CDF tail ever overflows
+                # into the padding, the selected stats are the last valid
+                # node's -- exactly the reference's fall-to-last-entry rule
+                # (selectLabelOnLevel, src/MSGibbs01.jl:330-351)
+                nodes_cat[j, o + len(lst):o + w] = lst[-1]
         idx_j = np.arange(dn)[:, None]
         lvl_mean = t_mean[idx_j, nodes_cat]               # [dn, T, d]
         lvl_bw = t_bw[idx_j, nodes_cat]
@@ -130,51 +136,6 @@ class _ProductPlan:
         # full kernel launch each -- the latency-bound regime's dominant tax)
         self.lvl_ms = jnp.concatenate([self.lvl_mean, self.lvl_bw], axis=-1)
         self.lvl_perm = jnp.asarray(lvl_perm_np.astype(np.int32))
-
-        # Packed float32 arrays for the fused Pallas kernels
-        # (ops/gibbs_pallas.py): stats flattened to [dn*d, T_pk] with
-        # lane-axis candidates and per-level permutation ids precomputed.
-        # Level widths are padded up to power-of-two buckets at bucket-
-        # aligned offsets, so (a) the kernels' BlockSpec index maps stay
-        # integral and (b) identically-bucketed levels reuse compiled
-        # kernels.  Padded slots replicate the last valid node with -inf
-        # log-weight, so a floating-point CDF tail can never gather garbage.
-        from . import gibbs_pallas as _gp
-        lvl_perm = t_perm[idx_j, nodes_cat]               # [dn, T]
-        self.pk_offsets: List[Tuple[int, int]] = []
-        cur = 0
-        for l in range(1, self.n_levels + 1):
-            w = widths[l]
-            wp = max(_gp.MIN_WIDTH, 1 << (w - 1).bit_length())
-            o = ((cur + wp - 1) // wp) * wp               # bucket-aligned
-            self.pk_offsets.append((o, wp))
-            cur = o + wp
-        pk_mean = np.zeros((dn * d, cur), np.float32)
-        pk_bw = np.ones((dn * d, cur), np.float32)
-        pk_logw = np.full((dn, cur), -np.inf, np.float32)
-        pk_perm = np.zeros((dn, cur), np.int32)
-        for l in range(1, self.n_levels + 1):
-            o, _w = self.offsets[l - 1]
-            po, pw = self.pk_offsets[l - 1]
-            for j in range(dn):
-                nv = len(per_tree_lists[j][l])
-                last = o + max(nv - 1, 0)
-                src = list(range(o, o + nv)) + [last] * (pw - nv)
-                for k in range(d):
-                    pk_mean[j * d + k, po:po + pw] = lvl_mean[j, src, k]
-                    pk_bw[j * d + k, po:po + pw] = lvl_bw[j, src, k]
-                pk_logw[j, po:po + nv] = lvl_logw[j, o:o + nv]
-                pk_perm[j, po:po + pw] = lvl_perm[j, src]
-        # chains-on-lanes kernel layout: candidates on sublanes
-        self.pk_mean = jnp.asarray(pk_mean.T.copy())      # [T_pk, dn*d]
-        self.pk_bw = jnp.asarray(pk_bw.T.copy())
-        self.pk_logw = jnp.asarray(pk_logw.T.copy())      # [T_pk, dn]
-        self.pk_perm = jnp.asarray(pk_perm.T.copy())
-        # root stats (node 0): the chains' initial selection, [dn*d]
-        self.pk_root_mean = jnp.asarray(
-            t_mean[:, 0, :].reshape(-1).astype(np.float32))
-        self.pk_root_bw = jnp.asarray(
-            t_bw[:, 0, :].reshape(-1).astype(np.float32))
 
     @property
     def lvl_arrays(self):
@@ -243,14 +204,11 @@ def _gauss_product(mu_sel, var_sel, mask, skip, get_mu, get_lambda):
     return mu, cov
 
 
-def _kernel_logits(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
-                   diffop, with_cov: bool):
-    """Log-likelihood of each candidate kernel at the current level against a
-    Gaussian with mean ``mu`` and (optionally) covariance ``cov``
-    (reference makeFasterSampleIndex!, src/MSGibbs01.jl:250-328).
-
-    lvl_*_j: [n_l, d] / [n_l]; mu/cov: [d]; active_dim: [d].
-    """
+def _kernel_logits_raw(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
+                       diffop, with_cov: bool):
+    """Local candidate log-likelihoods WITHOUT the degenerate fallback (which
+    is a global property of the full candidate set; the kernel-sharded engine
+    reduces it across shards).  See :func:`_kernel_logits`."""
     c = lvl_bw_j + (cov[None, :] if with_cov else 0.0)          # [n_l, d]
     if diffop is None:
         delta = lvl_mean_j - mu[None, :]
@@ -261,12 +219,29 @@ def _kernel_logits(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
     # NaN suppression per dim (reference :302-304) + partial-dim skip (:281-285)
     per_dim = jnp.where(jnp.isnan(per_dim) | ~active_dim[None, :], 0.0, per_dim)
     logits = lvl_logw_j - 0.5 * jnp.sum(per_dim, axis=1)        # [n_l]
-    logits = jnp.where(jnp.isnan(logits), -jnp.inf, logits)
-    # degenerate fallback: all-zero likelihood -> draw from weights alone
-    # (reference :311-315 resets to a uniform-per-node weight)
-    dead = jnp.all(jnp.isneginf(logits) | jnp.isneginf(lvl_logw_j))
+    return jnp.where(jnp.isnan(logits), -jnp.inf, logits)
+
+
+def _apply_dead_fallback(logits, lvl_logw_j, dead):
+    """Degenerate fallback: when every candidate has zero likelihood, draw
+    from the (uniform-per-valid-node) weights alone (reference
+    src/MSGibbs01.jl:311-315).  ``dead`` is the all-candidates predicate."""
     return jnp.where(dead, jnp.where(jnp.isneginf(lvl_logw_j), -jnp.inf, 0.0),
                      logits)
+
+
+def _kernel_logits(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
+                   diffop, with_cov: bool):
+    """Log-likelihood of each candidate kernel at the current level against a
+    Gaussian with mean ``mu`` and (optionally) covariance ``cov``
+    (reference makeFasterSampleIndex!, src/MSGibbs01.jl:250-328).
+
+    lvl_*_j: [n_l, d] / [n_l]; mu/cov: [d]; active_dim: [d].
+    """
+    logits = _kernel_logits_raw(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov,
+                                active_dim, diffop, with_cov)
+    dead = jnp.all(jnp.isneginf(logits) | jnp.isneginf(lvl_logw_j))
+    return _apply_dead_fallback(logits, lvl_logw_j, dead)
 
 
 def _select_label(u, logits):
@@ -274,12 +249,20 @@ def _select_label(u, logits):
     src/MSGibbs01.jl:330-351): first index whose CDF reaches ``u``.  The
     index is computed as a count of CDF entries below ``u`` (one vectorized
     compare+sum) rather than a binary search -- identical result, far
-    cheaper on the VPU.  The CDF is left unnormalized and ``u`` scaled by
-    the total instead (equal in exact arithmetic; saves one full-width
-    normalization pass per selection)."""
+    cheaper on the VPU.
+
+    The probabilities are *normalized before* the cumulative sum, exactly as
+    the reference (:318-326) and the serial oracle (reference_impl.py) do --
+    NOT the algebraically-equal ``cumsum(e) < u * total`` form.  Keeping the
+    same arithmetic shape across engines minimizes the ulp-wide window where
+    a replayed label could flip at a CDF boundary (the trace-exact replay
+    invariant; the normalization pass itself measures within noise,
+    BASELINE.md).  The tie rule is the reference's ``u <= cdf[z]`` accept:
+    counting strictly-smaller entries returns the first index whose CDF
+    reaches u."""
     e = jnp.exp(logits - jnp.max(logits))
-    cdf = jnp.cumsum(e)
-    z = jnp.sum((cdf < u * cdf[-1]).astype(jnp.int32))
+    cdf = jnp.cumsum(e / jnp.sum(e))
+    z = jnp.sum((cdf < u).astype(jnp.int32))
     return jnp.clip(z, 0, logits.shape[0] - 1)
 
 
@@ -471,8 +454,7 @@ def prod_appx_ms_gibbs(npd0,
                        rand_n: Optional[np.ndarray] = None,
                        record_labels: bool = False,
                        key=None,
-                       dtype=None,
-                       use_pallas="auto"):
+                       dtype=None):
     """Draw samples from (an approximation of) the product of ``densities``.
 
     Mirrors the reference ``prodAppxMSGibbsS`` (src/MSGibbs01.jl:645-703):
@@ -522,21 +504,15 @@ def prod_appx_ms_gibbs(npd0,
        manifolds.is_euclidean(get_mu_t, manifolds.euclid_mu):
         get_mu_t = get_lambda_t = None
 
-    from . import gibbs_pallas
-    if use_pallas == "auto":
-        # Measured on TPU v5e through the axon runtime (completion-forced,
-        # interleaved A/B): the single fused XLA program outruns the
-        # per-level Pallas kernels (~15 ms vs ~42 ms per 2x1000-comp
-        # product), so the jnp path is the default.  The Pallas path remains
-        # available for explicit opt-in / experimentation.
-        use_pallas = False
-    if use_pallas:
-        use_pallas = gibbs_pallas.pallas_supported(
-            plan, dtype, addop_t, diffop_t, get_mu_t, get_lambda_t, rand_u)
+    # A fused per-level Pallas engine was built and A/B-measured against this
+    # jnp program (completion-forced, interleaved): it lost 7x at 1000 chains,
+    # still lost 1.9x at 4096 chains, and VMEM-OOM'd at width-2048 levels --
+    # the single fused XLA program is the engine (BASELINE.md "Engine
+    # comparison"; removed in round 2).
 
     bu = dn * (1 + n_levels * (1 + n_iter))
     bn = d * (n_levels + 1)
-    if rand_u is None and not use_pallas:
+    if rand_u is None:
         # keyed fast path: stream generation + chains + transposes fused
         # into ONE dispatch (each eager op costs a round trip on the axon
         # runtime once any result has been fetched)
@@ -553,31 +529,20 @@ def prod_appx_ms_gibbs(npd0,
             out = out + (labels_t,)
         return out
 
-    if rand_u is not None:
-        # replay mode: streams may be over-allocated (the reference sizes
-        # randU at Np*Ndens*(Niter+2)*Nlevels, src/MSGibbs01.jl:661); only the
-        # first n_out*bu / n_out*bn draws are consumed, contiguously.
-        u = jnp.asarray(np.asarray(rand_u, dtype=np.float64)
-                        .ravel()[:n_out * bu].reshape(n_out, bu), dtype=dtype)
-        n_ = jnp.asarray(np.asarray(rand_n, dtype=np.float64)
-                         .ravel()[:n_out * bn].reshape(n_out, bn), dtype=dtype)
-    else:
-        key = ensure_key(key)
-        ku, kn = jax.random.split(key)
-        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
-        n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
+    # replay mode: streams may be over-allocated (the reference sizes
+    # randU at Np*Ndens*(Niter+2)*Nlevels, src/MSGibbs01.jl:661); only the
+    # first n_out*bu / n_out*bn draws are consumed, contiguously.
+    u = jnp.asarray(np.asarray(rand_u, dtype=np.float64)
+                    .ravel()[:n_out * bu].reshape(n_out, bu), dtype=dtype)
+    n_ = jnp.asarray(np.asarray(rand_n, dtype=np.float64)
+                     .ravel()[:n_out * bn].reshape(n_out, bn), dtype=dtype)
 
-    if use_pallas:
-        pts, idx, labels = gibbs_pallas.run_product(
-            plan, mask_np, u, n_, n_iter=n_iter, add_entropy=add_entropy,
-            n_out=n_out)
-    else:
-        pts, idx, labels = _gibbs_all_chains(
-            u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
-            offsets=tuple(plan.offsets),
-            n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
-            addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
-            get_lambda=get_lambda_t, add_entropy=add_entropy)
+    pts, idx, labels = _gibbs_all_chains(
+        u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
+        offsets=tuple(plan.offsets),
+        n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
+        addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
+        get_lambda=get_lambda_t, add_entropy=add_entropy)
 
     out = (pts.T, idx.T)                                        # [d,Np], [dn,Np]
     if record_labels:
@@ -648,8 +613,8 @@ class BatchedProductSampler:
                  dtype=None, mesh=None):
         """``mesh``: optional 1-axis ``jax.sharding.Mesh``; the set axis is
         sharded over it (each chip runs its sets' products -- the
-        graph-parallel axis of belief propagation).  ``B`` must divide the
-        mesh size."""
+        graph-parallel axis of belief propagation).  The mesh size must
+        divide ``B``."""
         self.n_out = n_out
         self.n_iter = n_iter
         self.add_entropy = add_entropy
@@ -667,6 +632,15 @@ class BatchedProductSampler:
             raise ValueError("all density sets must share "
                              "(ndens, ndim, per-position npts); "
                              f"got {sorted(shapes)}")
+        for ds in sets:
+            for p in ds:
+                if not (manifolds.is_euclidean(p.addop, manifolds.euclid_add)
+                        and manifolds.is_euclidean(p.diffop,
+                                                   manifolds.euclid_diff)):
+                    raise ValueError(
+                        "BatchedProductSampler does not support manifold "
+                        "addop/diffop hooks; use prod_appx_ms_gibbs per "
+                        "product for on-manifold densities")
         dtype = self.dtype or sets[0][0].points.dtype
         plans = [_get_plan(ds, self.n_out, dtype) for ds in sets]
         p0 = plans[0]
@@ -724,7 +698,7 @@ class ProductSampler:
 
     def __init__(self, densities: Sequence[KDE], n_out: int,
                  n_iter: int = 5, add_entropy: bool = True,
-                 partial_dim_mask=None, dtype=None, use_pallas="auto"):
+                 partial_dim_mask=None, dtype=None):
         self.densities = list(densities)
         if dtype is None:
             dtype = self.densities[0].points.dtype
@@ -741,28 +715,10 @@ class ProductSampler:
         self.mask = jnp.asarray(self.mask_np)
         self.bu = dn * (1 + self.plan.n_levels * (1 + n_iter))
         self.bn = d * (self.plan.n_levels + 1)
-        from . import gibbs_pallas
-        if use_pallas == "auto":
-            use_pallas = False          # jnp path wins (see prod_appx_ms_gibbs)
-        if use_pallas:
-            use_pallas = gibbs_pallas.pallas_supported(
-                self.plan, dtype, None, None, None, None, None)
-        self.use_pallas = bool(use_pallas)
 
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
         p = self.plan
-        if self.use_pallas:
-            from . import gibbs_pallas
-            ku, kn = jax.random.split(key)
-            u = jax.random.uniform(ku, (self.n_out, self.bu),
-                                   dtype=self.dtype)
-            n_ = jax.random.normal(kn, (self.n_out, self.bn),
-                                   dtype=self.dtype)
-            pts, idx, _ = gibbs_pallas.run_product(
-                p, self.mask_np, u, n_, n_iter=self.n_iter,
-                add_entropy=self.add_entropy, n_out=self.n_out)
-            return pts.T, idx.T
         pts_t, idx_t, _ = _gibbs_from_key(
             key, p.lvl_arrays, p.t_mean, p.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu, bn=self.bn,

@@ -88,6 +88,40 @@ def test_replay_parity_multibandwidth():
     np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
 
 
+def test_replay_parity_cdf_near_ties():
+    """Engineered exact CDF ties: densities whose kernels are all identical
+    make every per-level candidate probability an exact binary fraction
+    (1/2, 1/4 -- exactly representable), so the cumulative CDF hits exact
+    floating-point boundaries.  The injected uniform stream lands exactly ON
+    those boundaries and one ulp to either side, pinning the tie rule
+    (``u <= cdf[z]`` accepts, reference selectLabelOnLevel
+    src/MSGibbs01.jl:330-351) across the vectorized engine and the serial
+    oracle -- the hazard VERDICT round 1 flagged as latent."""
+    d, n, dn, n_out, n_iter = 2, 4, 2, 6, 1
+    pts = np.zeros((d, n))                 # 4 identical kernels per density
+    dens = [kde(pts, [0.5, 0.5]) for _ in range(dn)]
+    max_np = max(n, n_out)
+    L = int(np.floor(np.log2(max_np))) + 1
+    bu = n_out * dn * (1 + L * (1 + n_iter))
+    bn = n_out * d * (L + 1)
+    eps = np.finfo(np.float64).eps
+    # cycle through exact boundaries of the {1/2,1/4}-grid CDFs and their
+    # one-ulp neighbours
+    boundary = np.array([0.25, 0.5, 0.75,
+                         0.25 - eps / 4, 0.5 - eps / 2, 0.75 - eps,
+                         0.25 + eps / 2, 0.5 + eps, 0.75 + eps,
+                         np.nextafter(1.0, 0.0), eps, 1.0 - 2 * eps])
+    ru = np.resize(boundary, bu)
+    rn = np.zeros(bn)                      # deterministic draws
+    pts_s, idx_s, lab_s = serial_gibbs_product(
+        [p.tree for p in dens], n_out, n_iter, ru, rn)
+    pts_v, idx_v, lab_v = prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn, record_labels=True)
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_v), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9, atol=1e-12)
+
+
 def test_replay_parity_randomized_grid():
     """Breadth fuzz (fixed seed): random dims/density-counts/ragged
     component counts/multibandwidth/partial masks/n_iter must all be
