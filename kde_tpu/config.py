@@ -24,6 +24,14 @@ FORCE_EVAL_DIRECT: bool = True
 # axis (and the Pallas path tiles both axes).
 DIRECT_PAIR_LIMIT: int = 1 << 24
 
+# Above this many N*N pairs per dimension, the LOOCV entropy kernel stops
+# materializing the [d, N, N] logit tensor and tiles instead (Pallas
+# flash-style on TPU, lax.map query chunks elsewhere); see ops/loocv.py.
+LOOCV_PAIR_LIMIT: int = 1 << 28
+
+# Query-block size for the tiled (non-Pallas) LOO entropy path.
+LOOCV_CHUNK: int = 1024
+
 
 def set_force_eval_direct(flag: bool = False) -> None:
     """API-compatible setter (reference ``setForceEvalDirect!``,

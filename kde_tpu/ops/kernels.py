@@ -124,6 +124,29 @@ def log_eval_loo(points: jnp.ndarray,
     return lp - jnp.log1p(-weights)
 
 
+def log_eval_loo_chunked(points: jnp.ndarray,
+                         var: jnp.ndarray,
+                         weights: jnp.ndarray,
+                         chunk: int) -> jnp.ndarray:
+    """:func:`log_eval_loo` with the query axis processed in ``chunk``-row
+    blocks via ``lax.map``: the live logit working set is [chunk, N] instead
+    of [N, N], enabling LOOCV at N ~ 10^5+ (VERDICT r1 #2; the reference's
+    nLOO_LL is a full N^2 self-evaluation, src/CrossValidation.jl:15-24)."""
+    n, d = points.shape
+    logw = jnp.log(weights)
+    pad = (-n) % chunk
+    qp = jnp.pad(points, ((0, pad), (0, 0)))
+    # padded rows exclude component index n (out of range -> no-op) and are
+    # discarded below
+    ex = jnp.pad(jnp.arange(n), (0, pad), constant_values=n)
+    q = qp.reshape(-1, chunk, d)
+    e = ex.reshape(-1, chunk)
+    out = jax.lax.map(
+        lambda qe: log_gauss_mixture(qe[0], points, var, logw, None,
+                                     exclude=qe[1]), (q, e))
+    return out.reshape(-1)[:n] - jnp.log1p(-weights)
+
+
 def eval_avg_logl_from_logp(logp: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted average log-likelihood with the reference's zero-likelihood
     guard (src/DualTree01.jl:461-468): a zero-weight query with p==0
@@ -145,12 +168,14 @@ def entropy_kernel(points: jnp.ndarray,
     return -eval_avg_logl_from_logp(logp, weights)
 
 
-@functools.partial(jax.jit, static_argnames=("diffop",))
+@functools.partial(jax.jit, static_argnames=("diffop", "impl", "chunk"))
 def batched_loo_entropy(points: jnp.ndarray,
                         var_scale: jnp.ndarray,
                         base_var: jnp.ndarray,
                         weights: jnp.ndarray,
-                        diffop=None) -> jnp.ndarray:
+                        diffop=None,
+                        impl: str = "dense",
+                        chunk: int = 1024) -> jnp.ndarray:
     """Entropy of ``d`` independent 1-D KDEs, batched -- the LOOCV inner loop
     run for all marginals at once (the reference runs a serial per-dimension
     loop, src/KDE01.jl:16-23).
@@ -160,9 +185,28 @@ def batched_loo_entropy(points: jnp.ndarray,
       var_scale: ``[d]`` multiplicative variance scale (golden-search alpha^2).
       base_var: ``[d]`` base variances.
       weights: ``[N]`` shared weights.
+      impl: ``dense`` materializes the [d, N, N] logits (fastest below
+        config.LOOCV_PAIR_LIMIT); ``chunk`` tiles the query axis via
+        ``lax.map``; ``pallas`` streams component tiles through VMEM
+        (TPU only; ops/pallas_eval.py).
     Returns ``[d]`` entropies.
     """
+    n = points.shape[1]
+    if impl == "pallas":
+        from .pallas_eval import pallas_log_eval
+        outs = []
+        for i in range(points.shape[0]):          # d is small & static
+            p = points[i, :, None]
+            v = jnp.full((n, 1), var_scale[i] * base_var[i], dtype=points.dtype)
+            logp = (pallas_log_eval(p, p, v, weights, loo=True)
+                    - jnp.log1p(-weights)).astype(points.dtype)
+            outs.append(-eval_avg_logl_from_logp(logp, weights))
+        return jnp.stack(outs)
+
     def one(p_row, s, b):
-        v = jnp.full((p_row.shape[0], 1), s * b, dtype=p_row.dtype)
+        v = jnp.full((n, 1), s * b, dtype=p_row.dtype)
+        if impl == "chunk":
+            logp = log_eval_loo_chunked(p_row[:, None], v, weights, chunk)
+            return -eval_avg_logl_from_logp(logp, weights)
         return entropy_kernel(p_row[:, None], v, weights, diffop)
     return jax.vmap(one)(points, var_scale, base_var)

