@@ -55,16 +55,19 @@ class KDE:
         # LOOCV bracket are host-side consumers, and a device->host readback
         # both wastes tunnel bandwidth and (on the axon remote-TPU runtime)
         # permanently degrades dispatch latency for the whole process.
-        self._host_points = (np.asarray(points, dtype=np.float64)
-                             if not isinstance(points, jnp.ndarray) else None)
-        self._host_bw = (np.asarray(bw, dtype=np.float64)
-                         if not isinstance(bw, jnp.ndarray) else None)
         self.points = jnp.asarray(points)            # [N, d]
         self.bw = jnp.asarray(bw)                    # [N, d] variances
         self.weights = jnp.asarray(weights)          # [N], normalized
-        self._host_weights = (np.asarray(weights, dtype=np.float64)
-                              if not isinstance(weights, jnp.ndarray)
-                              else None)
+        # Host copies are rounded through the device dtype so host consumers
+        # (tree build, serialization) see exactly the device contents.
+        def _host(x, dev):
+            if isinstance(x, jnp.ndarray):
+                return None
+            return (np.asarray(x, dtype=np.dtype(dev.dtype.name))
+                    .astype(np.float64))
+        self._host_points = _host(points, self.points)
+        self._host_bw = _host(bw, self.bw)
+        self._host_weights = _host(weights, self.weights)
         self.multibandwidth = bool(multibandwidth)
         d = self.points.shape[1]
         self.addop = manifolds.broadcast_ops(addop, d)
@@ -260,9 +263,12 @@ def kde(points,
             jnp.asarray(var, dtype=dtype),
             jnp.asarray(w, dtype=dtype),
             multibandwidth=multibw, addop=addop, diffop=diffop)
-    # retain the host-side copies: the ball-tree build consumes them without
-    # a device->host readback (see KDE.__init__ note)
-    k._host_points = pts_nd
-    k._host_bw = var
-    k._host_weights = w
+    # retain host-side copies: the ball-tree build consumes them without a
+    # device->host readback (see KDE.__init__ note).  Round through the KDE
+    # dtype first so host consumers (tree, to_string, host_* accessors) see
+    # exactly the device contents even at float32.
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    k._host_points = pts_nd.astype(np_dtype).astype(np.float64)
+    k._host_bw = var.astype(np_dtype).astype(np.float64)
+    k._host_weights = w.astype(np_dtype).astype(np.float64)
     return k
