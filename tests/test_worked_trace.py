@@ -1,0 +1,166 @@
+"""Hand-derived worked trace of the multiscale Gibbs product (VERDICT r1 #8).
+
+The replay-parity suite proves the vectorized engine reproduces the serial
+oracle (``kde_tpu.reference_impl``) trace-for-trace -- but the oracle itself
+is *our reading* of the Julia reference.  This test anchors that reading to
+the Julia source directly: a 2-density, 2-kernel, 1-D, one-sample product is
+computed here by **straight-line arithmetic transcribing the reference's
+code path step by step** (every formula cites its src/MSGibbs01.jl line),
+with fixed injected randU/randN streams.  Both the serial oracle and the
+vectorized engine must reproduce the hand trace exactly.
+
+Trace shape for this config (Np=1 output sample, Ndens=2, Npts=2, Niter=1):
+``maxNp = 2 -> Nlevels = floor(log2 2) + 1 = 2`` (src/MSGibbs01.jl:568,660);
+uniforms consumed: ``Ndens * (1 + Nlevels*(1 + Niter)) = 10``; normals:
+``Ndim * (Nlevels + 1) = 3``.
+"""
+
+import numpy as np
+import pytest
+
+from kde_tpu import kde, prod_appx_ms_gibbs
+from kde_tpu.reference_impl import serial_gibbs_product
+
+# chosen to exercise both CDF branches (first / second candidate) across the
+# ten selections; values are otherwise arbitrary
+U = np.array([0.77, 0.43, 0.20, 0.81, 0.65, 0.07, 0.55, 0.93, 0.31, 0.48])
+NRM = np.array([0.6, -1.1, 0.35])
+
+
+def _densities():
+    # density A: kernels at 0, 2 with variance 0.25; B: at 1, 3, variance 1.0
+    a = kde(np.array([[0.0, 2.0]]), [0.5])
+    b = kde(np.array([[1.0, 3.0]]), [1.0])
+    return a, b
+
+
+def _hand_trace(ta, tb, add_entropy):
+    """The reference algorithm, transcribed line by line for this config.
+
+    ``ta``/``tb`` are the flat ball trees (2N = 4 slots, root = slot 0,
+    leaves = slots 2..3; tree construction itself is anchored separately by
+    the MATLAB golden fixtures, tests/test_balltree.py).  All *Gibbs*
+    arithmetic below is explicit -- no loops over levels/densities, no reuse
+    of the oracle's helpers.
+    """
+    mA, vA, wA = ta.means[:, 0], ta.bandwidth[:, 0], ta.weights
+    mB, vB, wB = tb.means[:, 0], tb.bandwidth[:, 0], tb.weights
+
+    def select(u, m, v, w, mu, cov):
+        """makeFasterSampleIndex! for the two leaf candidates (slots 2, 3):
+        p_z = exp(-0.5*((m_z-mu)^2/c_z + log c_z)) * w_z with c_z = bw_z
+        (+ product covariance when doCalmost, src/MSGibbs01.jl:287-296),
+        normalized into a CDF (:318-326); selectLabelOnLevel (:330-351)
+        scans z = 1..dNp-1 and accepts the first z with u <= cdf[z], falling
+        to the last candidate otherwise."""
+        c2, c3 = v[2] + cov, v[3] + cov
+        p2 = np.exp(-0.5 * ((m[2] - mu) ** 2 / c2 + np.log(c2))) * w[2]
+        p3 = np.exp(-0.5 * ((m[3] - mu) ** 2 / c3 + np.log(c3))) * w[3]
+        return 2 if u <= p2 / (p2 + p3) else 3
+
+    def product2(muA, varA, muB, varB):
+        """gaussianProductMeanCov! (src/MSGibbs01.jl:176-216): information
+        form, lam_j = 1/var_j, cov = 1/sum(lam), mu = cov * sum(lam*mu)."""
+        lamA, lamB = 1.0 / varA, 1.0 / varB
+        cov = 1.0 / (lamA + lamB)
+        return cov * (lamA * muA + lamB * muB), cov
+
+    # initIndices! (:477-497): level list = [root]; p = [weight(root)] = [1];
+    # the scan runs z over 1..dNp-1 = (empty) so the root is selected
+    # unconditionally, but ONE uniform is still consumed per density
+    # (ruptr += 1 at :346) -> U[0], U[1] burned.
+    # calcIndices!: selections = root stats.
+
+    # ---- level 1 ----
+    # samplePoint! (:440-463, addEntropy=true at the per-level call :594):
+    # product of the root kernels, then mu + sqrt(cov)*randN -> consumes NRM[0]
+    mu1, cov1 = product2(mA[0], vA[0], mB[0], vB[0])
+    x1 = mu1 + np.sqrt(cov1) * NRM[0]
+    # levelDown! (:500-523): [root] -> both children = leaf slots [2, 3]
+    # sampleIndices! (:364-385): condition each density's label on x1; the
+    # candidate variance is the leaf bandwidth alone (doCalmost=false -> no
+    # +cov term, :286) but log(c) IS still added (:296)
+    iA = select(U[2], mA, vA, wA, x1, 0.0)
+    iB = select(U[3], mB, vB, wB, x1, 0.0)
+    # one Gibbs sweep (Niter=1, :604-608), sequential over densities:
+    # j=A leaves out A -> Malmost/Calmost = B's currently selected kernel
+    # (:415-417); candidate variance = bw_z + Calmost (doCalmost=true, :287-291)
+    iA = select(U[4], mA, vA, wA, mB[iB], vB[iB])
+    # j=B uses A's NEW selection (sequential scan order, :604-608)
+    iB = select(U[5], mB, vB, wB, mA[iA], vA[iA])
+
+    # ---- level 2 ----
+    # samplePoint!: product of the two selected leaf kernels -> NRM[1]
+    mu2, cov2 = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    x2 = mu2 + np.sqrt(cov2) * NRM[1]
+    # levelDown! on leaves is a no-op: left(leaf) = leaf itself and
+    # right(leaf) = NO_CHILD (leaf init, src/BallTree01.jl:426-427), so the
+    # level list self-replicates
+    iA = select(U[6], mA, vA, wA, x2, 0.0)
+    iB = select(U[7], mB, vB, wB, x2, 0.0)
+    iA = select(U[8], mA, vA, wA, mB[iB], vB[iB])
+    iB = select(U[9], mB, vB, wB, mA[iA], vA[iA])
+
+    # export (:612-616): original point index of the selected leaf via the
+    # build permutation (reference is 1-based; 0-based here matches the
+    # fixture-dump convention)
+    idx = np.array([ta.permutation[iA], tb.permutation[iB]])
+    # final samplePoint! (:625): with addEntropy the point is jittered by
+    # NRM[2]; without, it is exactly the product mean (:455-459) -- the
+    # normal cursor advances either way (rnptr += 1 at :452)
+    muf, covf = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    xf = muf + (np.sqrt(covf) * NRM[2] if add_entropy else 0.0)
+    return xf, idx
+
+
+@pytest.mark.parametrize("add_entropy", [True, False])
+def test_worked_trace(add_entropy):
+    a, b = _densities()
+    want_x, want_idx = _hand_trace(a.tree, b.tree, add_entropy)
+
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [a.tree, b.tree], 1, 1, U, NRM, add_entropy=add_entropy)
+    np.testing.assert_allclose(pts_s[0, 0], want_x, rtol=1e-12)
+    np.testing.assert_array_equal(idx_s[:, 0], want_idx)
+
+    pts_v, idx_v = prod_appx_ms_gibbs(
+        1, [a, b], n_iter=1, add_entropy=add_entropy, rand_u=U, rand_n=NRM)
+    np.testing.assert_allclose(np.asarray(pts_v)[0, 0], want_x, rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx_v)[:, 0], want_idx)
+
+
+def test_worked_trace_hits_both_cdf_branches():
+    """The chosen uniforms must actually exercise both sides of the CDF scan
+    (first candidate accepted AND fall-to-last), otherwise the trace would
+    not pin the tie/accept rule."""
+    a, b = _densities()
+    ta, tb = a.tree, b.tree
+    picked = set()
+
+    mA, vA, wA = ta.means[:, 0], ta.bandwidth[:, 0], ta.weights
+    mB, vB, wB = tb.means[:, 0], tb.bandwidth[:, 0], tb.weights
+
+    def select(u, m, v, w, mu, cov):
+        c2, c3 = v[2] + cov, v[3] + cov
+        p2 = np.exp(-0.5 * ((m[2] - mu) ** 2 / c2 + np.log(c2))) * w[2]
+        p3 = np.exp(-0.5 * ((m[3] - mu) ** 2 / c3 + np.log(c3))) * w[3]
+        z = 2 if u <= p2 / (p2 + p3) else 3
+        picked.add(z)
+        return z
+
+    def product2(muA, varA, muB, varB):
+        lamA, lamB = 1.0 / varA, 1.0 / varB
+        cov = 1.0 / (lamA + lamB)
+        return cov * (lamA * muA + lamB * muB), cov
+
+    mu1, cov1 = product2(mA[0], vA[0], mB[0], vB[0])
+    x1 = mu1 + np.sqrt(cov1) * NRM[0]
+    iA = select(U[2], mA, vA, wA, x1, 0.0)
+    iB = select(U[3], mB, vB, wB, x1, 0.0)
+    iA = select(U[4], mA, vA, wA, mB[iB], vB[iB])
+    iB = select(U[5], mB, vB, wB, mA[iA], vA[iA])
+    mu2, cov2 = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    x2 = mu2 + np.sqrt(cov2) * NRM[1]
+    select(U[6], mA, vA, wA, x2, 0.0)
+    select(U[7], mB, vB, wB, x2, 0.0)
+    assert picked == {2, 3}
