@@ -28,7 +28,7 @@ from . import manifolds
 # Gibbs product engine (the reference's prodAppxMSGibbsS and `*`,
 # src/MSGibbs01.jl:632-736)
 from .ops.gibbs import (BatchedProductSampler, ProductSampler,
-                        prod_appx_ms_gibbs, product)
+                        prod_appx_ms_gibbs, product, product_batched)
 
 __all__ = [
     "KDE", "kde",
@@ -38,7 +38,7 @@ __all__ = [
     "sample", "sample_at", "rand_kde", "resample",
     "to_string", "from_string", "save_kde", "load_kde",
     "BatchedProductSampler", "ProductSampler", "prod_appx_ms_gibbs",
-    "product",
+    "product", "product_batched",
     "evaluate_dual_tree", "ksize", "nloo_ll",
     "FlatBallTree", "build_balltree",
     "set_seed", "set_force_eval_direct", "manifolds",

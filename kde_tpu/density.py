@@ -227,7 +227,18 @@ def kde(points,
       weights: ``[N]`` kernel weights (normalized internally, src/KDE01.jl:46).
       addop/diffop: per-dimension manifold hooks (length-1 broadcasts).
       dtype: array dtype (default: float64 if enabled, else float32).
+
+    Device-resident path: when ``points`` is already a device array the fit
+    stays on device end-to-end -- LOOCV bandwidths via
+    :func:`kde_tpu.ops.loocv.ksize_bandwidths_device` (sort-based bracket,
+    no host tree) and no ``np.asarray`` readback.  This is what keeps the
+    ``*`` operator's product-then-refit loop (reference
+    src/MSGibbs01.jl:724-725) off the device->host cliff (BASELINE.md); the
+    ball tree, if later needed (e.g. the KDE enters another product), is
+    built lazily from a readback at that point.
     """
+    if isinstance(points, jnp.ndarray) and not isinstance(points, np.ndarray):
+        return _kde_device(points, bw, weights, addop, diffop, dtype)
     pts = np.asarray(points, dtype=np.float64)
     if pts.ndim == 1:
         pts = pts[None, :]
@@ -272,3 +283,40 @@ def kde(points,
     k._host_bw = var.astype(np_dtype).astype(np.float64)
     k._host_weights = w.astype(np_dtype).astype(np.float64)
     return k
+
+
+def _kde_device(points: Array, bw, weights, addop, diffop, dtype) -> KDE:
+    """Device-array constructor path of :func:`kde` (no host readbacks)."""
+    from .ops.loocv import ksize_bandwidths_device
+
+    if dtype is None:
+        dtype = points.dtype
+    pts = jnp.asarray(points, dtype=dtype)
+    if pts.ndim == 1:
+        pts = pts[None, :]
+    d, n = pts.shape
+    pts_nd = pts.T                                   # [N, d]
+
+    if weights is None:
+        w = jnp.full((n,), 1.0 / n, dtype=dtype)
+    else:
+        w = jnp.asarray(weights, dtype=dtype).reshape(n)
+        w = w / jnp.sum(w)
+
+    if bw is None:
+        bwds = ksize_bandwidths_device(pts_nd, w, dtype=dtype)
+        var = jnp.tile(bwds[None, :] ** 2, (n, 1))
+        multibw = False
+    else:
+        bwa = jnp.asarray(bw, dtype=dtype)
+        if bwa.ndim == 0 or bwa.size == 1:
+            bwa = jnp.full((d,), bwa.reshape(-1)[0], dtype=dtype)
+        if bwa.ndim == 1:
+            var = jnp.tile(bwa.reshape(d)[None, :] ** 2, (n, 1))
+            multibw = False
+        else:
+            var = (bwa.reshape(d, n) ** 2).T         # [N, d]
+            multibw = True
+
+    return KDE(pts_nd, var, w, multibandwidth=multibw,
+               addop=addop, diffop=diffop)

@@ -563,7 +563,80 @@ def product(densities: Sequence[KDE],
     n_out = int(round(float(np.mean([p.npts for p in densities]))))
     pts, _ = prod_appx_ms_gibbs(n_out, densities, n_iter=5,
                                 add_entropy=add_entropy, key=key)
+    # pts is a device array, so kde() takes its device-resident path: the
+    # LOOCV refit's bracket comes from jnp.sort (no host tree build) and the
+    # samples never cross to the host -- the reference's
+    # product-then-kde! chain (src/MSGibbs01.jl:724-725) without the
+    # device->host cliff (BASELINE.md "end-to-end `*`").
     return kde(pts)
+
+
+def product_batched(density_sets,
+                    n_iter: int = 5,
+                    add_entropy: bool = True,
+                    key=None,
+                    mesh=None):
+    """Batched ``*``: one Gibbs dispatch + one fused LOOCV refit for ``B``
+    same-shaped density sets; returns ``B`` product KDEs.
+
+    The serving-path form of :func:`product` (no reference counterpart --
+    the reference computes each ``*`` serially, src/MSGibbs01.jl:707-736):
+    the sampler batches the B products into a single program
+    (:class:`BatchedProductSampler`) and the refit folds the ``B x d``
+    independent 1-D golden searches into ONE device program (uniform-weight
+    products share one search batch), so the whole pipeline is two
+    dispatches regardless of B and fully device-resident.
+    """
+    from .loocv import _internal_slices
+    from .. import config
+
+    sets = [list(ds) for ds in density_sets]
+    if not sets:
+        return []
+    npts0 = [p.npts for p in sets[0]]
+    n_out = int(round(float(np.mean(npts0))))
+    sampler = BatchedProductSampler(sets, n_out=n_out, n_iter=n_iter,
+                                    add_entropy=add_entropy, mesh=mesh)
+    key = ensure_key(key)
+    pts, _ = sampler.sample(key)                     # [B, d, n_out]
+    B, d, n = pts.shape
+    lo, hi = _internal_slices(n)
+    impl = ("pallas" if n * n > config.LOOCV_PAIR_LIMIT
+            and jax.default_backend() == "tpu"
+            else "chunk" if n * n > config.LOOCV_PAIR_LIMIT else "dense")
+    bwds = _batched_refit(pts.reshape(B * d, n), jnp.asarray(lo),
+                          jnp.asarray(hi), impl=impl,
+                          chunk=int(config.LOOCV_CHUNK))  # [B*d]
+    var = bwds.reshape(B, d) ** 2                    # [B, d]
+    return [KDE(pts[b].T, jnp.tile(var[b][None, :], (n, 1)),
+                jnp.full((n,), 1.0 / n, dtype=pts.dtype))
+            for b in range(B)]
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "chunk"))
+def _batched_refit(rows, lo, hi, *, impl, chunk):
+    """LOOCV bandwidths for ``B*d`` independent 1-D sample rows ``[R, N]``
+    with uniform weights, as one fused golden-search batch (same bracket and
+    search arithmetic as ops/loocv.py::_ksize_device)."""
+    from .kernels import batched_loo_entropy
+    from .loocv import _golden_core
+    r, n = rows.shape
+    w = jnp.full((n,), 1.0 / n, dtype=rows.dtype)
+    s = jnp.sort(rows, axis=1)                       # [R, N]
+    diag = s[:, hi] - s[:, lo]                       # [R, n_internal]
+    maxm = diag[:, 0]
+    minm = jnp.maximum(jnp.min(diag, axis=1), 1e-6)
+    base = (minm + maxm) / 2.0
+    ax = 2.0 * minm / (minm + maxm)
+    bx = jnp.ones_like(base)
+    cx = 2.0 * maxm / (minm + maxm)
+
+    def nloo(x):
+        scale = (jnp.asarray(x) ** 2).astype(rows.dtype)
+        return batched_loo_entropy(rows, scale, base ** 2, w,
+                                   impl=impl, chunk=chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, 1e-2)
+    return xmin * base
 
 
 @functools.partial(

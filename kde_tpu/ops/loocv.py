@@ -164,6 +164,100 @@ def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol,
     return xmin
 
 
+@functools.lru_cache(maxsize=256)
+def _internal_slices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Leaf-position slices ``[lo, hi]`` of every internal ball-tree node for
+    an ``n``-point tree, root first.
+
+    The builder's recursion structure depends only on ``n`` (median split at
+    ``(lo+hi)//2``, reference src/BallTree01.jl:342-411), so the slices are
+    computable without the data.  For a **1-D** tree the recursive median
+    splits fully sort the leaf order, hence internal node ``(lo, hi)`` has
+    box extent ``sorted[hi] - sorted[lo]`` -- which is everything
+    ``neighbor_min_max`` needs.  This is what lets the LOOCV bracket be
+    computed *on device* from ``jnp.sort`` alone (no host tree build, no
+    device->host readback; see :func:`ksize_bandwidths_device`).
+    """
+    los, his = [], []
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if lo >= hi:
+            continue
+        los.append(lo)
+        his.append(hi)
+        split = (lo + hi) // 2
+        # push right first so the recorded order is root-first DFS (only the
+        # root's position matters: maxm = root extent)
+        if split + 1 < hi:
+            stack.append((split + 1, hi))
+        if split > lo:
+            stack.append((lo, split))
+    return np.asarray(los, dtype=np.int32), np.asarray(his, dtype=np.int32)
+
+
+def ksize_bandwidths_device(points,
+                            weights=None,
+                            tol: float = 1e-2,
+                            dtype=None):
+    """Fully device-resident LOOCV bandwidth selection.
+
+    Same selection as :func:`ksize_bandwidths` (identical bracket math and
+    golden search; equal at f64 to 1e-12, tests/test_loocv.py) but with the
+    per-dimension ``neighborMinMax`` bracket computed from ``jnp.sort``
+    instead of a host ball-tree build -- so a device-resident ``points``
+    (e.g. Gibbs product samples) never crosses to the host.  On the axon
+    runtime the first device->host readback permanently degrades dispatch
+    pipelining (BASELINE.md), which made the reference-style
+    product-then-refit path (src/MSGibbs01.jl:725) latency-bound; this keeps
+    the whole ``*`` operator on device.
+
+    Args:
+      points: ``[N, d]`` device (or host) array.
+      weights: ``[N]`` or ``None`` (uniform).
+    Returns ``[d]`` std-dev bandwidths as a DEVICE array.
+    """
+    points = jnp.asarray(points, dtype=dtype)
+    n, d = points.shape
+    if weights is None:
+        w = jnp.full((n,), 1.0 / n, dtype=points.dtype)
+    else:
+        w = jnp.asarray(weights, dtype=points.dtype)
+        w = w / jnp.sum(w)
+    lo, hi = _internal_slices(n)
+    from .. import config
+    if n * n > config.LOOCV_PAIR_LIMIT:
+        impl = "pallas" if jax.default_backend() == "tpu" else "chunk"
+    else:
+        impl = "dense"
+    return _ksize_device(points, w, jnp.asarray(lo), jnp.asarray(hi),
+                         tol=float(tol), impl=impl,
+                         chunk=int(config.LOOCV_CHUNK))
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
+def _ksize_device(pts, w, lo, hi, *, tol, impl, chunk):
+    n = pts.shape[0]
+    s = jnp.sort(pts, axis=0)                       # [N, d] per-dim sorted
+    if n < 2 or lo.shape[0] == 0:
+        minm = maxm = jnp.full((pts.shape[1],), 1e-6, dtype=pts.dtype)
+    else:
+        diag = s[hi] - s[lo]                        # [n_internal, d] extents
+        maxm = diag[0]                              # root slice = full extent
+        minm = jnp.maximum(jnp.min(diag, axis=0), 1e-6)
+    base = (minm + maxm) / 2.0
+    ax = 2.0 * minm / (minm + maxm)
+    bx = jnp.ones_like(base)
+    cx = 2.0 * maxm / (minm + maxm)
+
+    def nloo(x):
+        scale = (jnp.asarray(x) ** 2).astype(pts.dtype)
+        return batched_loo_entropy(pts.T, scale, base ** 2, w,
+                                   impl=impl, chunk=chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
+    return xmin * base
+
+
 def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
     """Negative average LOO log-likelihood of ``p`` with its variance scaled
     by ``alpha^2`` in std units (reference nLOO_LL,
