@@ -1,14 +1,25 @@
-"""Benchmark: the BASELINE.json headline -- product of two 1000-component 2-D
-KDEs via multiscale Gibbs sampling, Niter=5, 1000 output samples.
+"""Benchmark: the BASELINE.json headline plus the five reference configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
+The headline (top-level) fields are the BASELINE.json metric -- product
+samples/s on the 2x1000-component 2-D KDE product, Niter=5 -- and "configs"
+carries the five BASELINE.json workloads (the reference README/test
+examples), each with its own completion-forced TPU number and measured
+serial-CPU baseline ratio.
 
-value        = samples/s of the TPU engine (steady-state, post-compile).
-vs_baseline  = value / (serial CPU samples/s of the same algorithm).
 The baseline is measured here (the reference publishes no numbers and Julia
 is not in this image; see BASELINE.md): a chain-serial NumPy implementation
 with vectorized inner loops -- the same chain-at-a-time schedule as the
-reference's `for s in 1:Np` loop (reference src/MSGibbs01.jl:581).
+reference's `for s in 1:Np` loop (reference src/MSGibbs01.jl:581) -- plus a
+serial NumPy golden-search LOOCV for the fit-path configs (reference
+src/CrossValidation.jl:44-120).
+
+TIMING HONESTY (see BASELINE.md): on the axon remote-TPU runtime,
+jax.block_until_ready returns at dispatch-journal acceptance, NOT device
+completion; every TPU window below is fenced by reducing outputs to a
+scalar and fetching it inside the timed region.  Throughput configs queue
+many calls per fence (pipelined dispatch); latency configs (the end-to-end
+`*`) are sequential by nature.  Best-of-N rounds damp tunnel congestion.
 """
 
 import json
@@ -18,15 +29,91 @@ import time
 
 import numpy as np
 
-N_COMP = 1000       # components per density  (BASELINE.json: 2x1000-comp)
-N_OUT = 1000        # product samples per product
+N_COMP = 1000       # headline: components per density (2x1000-comp)
+N_OUT = 1000        # headline: product samples per product
 N_ITER = 5          # reference Niter for `*` (src/MSGibbs01.jl:724)
-# Chains are iid given the stream, so one dispatch draws several independent
-# 1000-sample products of the same densities (the serving pattern for
-# nonparametric belief propagation); 4 products/call saturates the chip --
-# the per-call level schedule is latency-bound below ~4000 chains.
 PRODUCTS_PER_CALL = 4
 BASELINE_SAMPLES = 50
+
+_GOLD_C = (3.0 - np.sqrt(5.0)) / 2.0
+_GOLD_R = 1.0 - _GOLD_C
+
+
+def _serial_loo_entropy(x, w, var):
+    """N^2 LOO entropy of a 1-D KDE (reference nLOO_LL core,
+    src/CrossValidation.jl:15-24 via src/DualTree01.jl:450-508).  f32
+    arithmetic and a blocked sweep keep the working set cache-resident --
+    the serial baseline is given its best shot."""
+    n = x.size
+    xf = x.astype(np.float32)
+    wf = w.astype(np.float32)
+    inv = np.float32(-0.5 / var)
+    norm = np.float32(1.0 / np.sqrt(2.0 * np.pi * var))
+    p_loo = np.empty(n, dtype=np.float32)
+    blk = 2048
+    for i0 in range(0, n, blk):
+        d2 = (xf[i0:i0 + blk, None] - xf[None, :]) ** 2
+        kern = np.exp(inv * d2)
+        kern[np.arange(i0, min(i0 + blk, n)) - i0,
+             np.arange(i0, min(i0 + blk, n))] = 0.0
+        p_loo[i0:i0 + blk] = kern @ wf
+    p_loo = p_loo * norm / (1.0 - wf)
+    return -np.sum(wf * np.log(p_loo))
+
+
+def _serial_golden(f, ax, bx, cx, tol=1e-2):
+    """Scalar golden-section search (reference src/CrossValidation.jl:44-98)."""
+    x0, x3 = ax, cx
+    if abs(cx - bx) > abs(bx - ax):
+        x1, x2 = bx, bx + _GOLD_C * (cx - bx)
+    else:
+        x1, x2 = bx - _GOLD_C * (bx - ax), bx
+    f1, f2 = f(x1), f(x2)
+    while abs(x3 - x0) > tol * (abs(x1) + abs(x2)):
+        if f2 < f1:
+            x0, x1, x2 = x1, x2, _GOLD_R * x2 + _GOLD_C * x3
+            f1, f2 = f2, f(x2)
+        else:
+            x3, x2, x1 = x2, x1, _GOLD_R * x1 + _GOLD_C * x0
+            f2, f1 = f1, f(x1)
+    return x1 if f1 < f2 else x2
+
+
+def _serial_loocv_bw(pts_nd, w):
+    """Per-dim serial LOOCV bandwidths (reference ksize loop,
+    src/KDE01.jl:17-23 + src/CrossValidation.jl:110-120)."""
+    from kde_tpu.ops.balltree import build_balltree, neighbor_min_max
+    n, d = pts_nd.shape
+    out = np.empty(d)
+    for k in range(d):
+        tree = build_balltree(pts_nd[:, k:k + 1], w)
+        minm, maxm = neighbor_min_max(tree)
+        base = (minm + maxm) / 2.0
+        x = pts_nd[:, k]
+        f = lambda a: _serial_loo_entropy(x, w, (base * a) ** 2)
+        amin = _serial_golden(f, 2 * minm / (minm + maxm), 1.0,
+                              2 * maxm / (minm + maxm))
+        out[k] = base * amin
+    return out
+
+
+def _serial_flow_1d(x, n_eval=200, n_res=75):
+    """Serial config-1 flow: LOOCV fit + evaluate + lcv-resample
+    (``n_res=0`` skips the resample refit)."""
+    n = x.size
+    w = np.full(n, 1.0 / n)
+    bw = _serial_loocv_bw(x[:, None], w)[0]
+    grid = np.linspace(x.min(), x.max(), n_eval)
+    d2 = (grid[:, None] - x[None, :]) ** 2
+    vals = (np.exp(-0.5 * d2 / bw ** 2)
+            / np.sqrt(2 * np.pi * bw * bw)) @ w
+    if n_res:
+        rng = np.random.default_rng(0)
+        idx = np.searchsorted(np.cumsum(w), np.sort(rng.uniform(size=n_res)))
+        xr = x[np.clip(idx, 0, n - 1)] + bw * rng.standard_normal(n_res)
+        wr = np.full(n_res, 1.0 / n_res)
+        _serial_loocv_bw(xr[:, None], wr)
+    return vals
 
 
 def main():
@@ -34,64 +121,202 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from kde_tpu import kde, prod_appx_ms_gibbs
+    from kde_tpu import kde, prod_appx_ms_gibbs, product
+    from kde_tpu.ops.sampling import resample
     from kde_tpu.reference_impl import serial_gibbs_product_fast
 
-    rng = np.random.default_rng(0)
     dtype = jnp.float32
+    fence = lambda *xs: float(np.asarray(sum(jnp.sum(v) for v in xs)))
+    results = []
+
+    def tpu_pipelined(fn, reps=20, rounds=6, per_call=1):
+        """Best-of-rounds pipelined rate: queue `reps` calls with distinct
+        seeds, one completion fence; returns units/s (units = per_call)."""
+        fence(fn(0))                                  # warmup/compile
+        best = 0.0
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            outs = [fn(1000 * r + i + 1) for i in range(reps)]
+            fence(*outs)
+            best = max(best, per_call * reps / (time.perf_counter() - t0))
+        return best
+
+    def cpu_best(fn, rounds=3):
+        best = 1e9
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            fn(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rng = np.random.default_rng(0)
+
+    # --- headline: 2x1000-comp 2-D product (BASELINE.json metric) -----------
     pts_a = rng.normal(size=(2, N_COMP))
     pts_b = rng.normal(size=(2, N_COMP)) + 0.5
     dens = [kde(pts_a, [0.1], dtype=dtype), kde(pts_b, [0.1], dtype=dtype)]
-    trees = [p.tree for p in dens]          # host precompute outside timing
-
-    # --- TPU engine ---------------------------------------------------------
-    # TIMING HONESTY: on the axon remote-TPU runtime, jax.block_until_ready
-    # returns when the dispatch journal accepts the work -- NOT when the
-    # device finishes (measured: "block-only" timing reports ~0.8 ms/call
-    # while actual completion takes ~15 ms/call).  The only trustworthy
-    # fence is a data dependency: reduce every output to one scalar and
-    # fetch it inside the timed window.  The single fetch also pins the
-    # process's dispatch mode, so every round sees the same regime.
-    key = jax.random.PRNGKey(0)
+    trees = [p.tree for p in dens]
     n_call = N_OUT * PRODUCTS_PER_CALL
-    # warmup/compile (with a real completion fence)
-    out = prod_appx_ms_gibbs(n_call, dens, n_iter=N_ITER, key=key)
-    float(np.asarray(out[0][0, 0]))
-    # steady-state throughput: queue all reps with distinct keys, then force
-    # full completion via a dependent scalar; best of 6 rounds to damp
-    # tunnel congestion episodes
-    reps = 20
-    tpu_rate = 0.0
-    for rnd in range(8):
-        keys = [jax.random.PRNGKey(1000 * rnd + r + 1) for r in range(reps)]
-        t0 = time.perf_counter()
-        outs = [prod_appx_ms_gibbs(n_call, dens, n_iter=N_ITER, key=k)
-                for k in keys]
-        fence = jnp.sum(jnp.stack([o[0].sum() for o in outs]))
-        float(np.asarray(fence))                 # completion fence
-        dt = (time.perf_counter() - t0) / reps
-        tpu_rate = max(tpu_rate, n_call / dt)
-    out = outs[-1]
+    tpu_rate = tpu_pipelined(
+        lambda s: prod_appx_ms_gibbs(n_call, dens, n_iter=N_ITER,
+                                     key=jax.random.PRNGKey(s))[0],
+        reps=20, rounds=8, per_call=n_call)
+    # sanity on one product block
+    chk = np.asarray(prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
+                                        key=jax.random.PRNGKey(1))[0])
+    assert np.all(np.isfinite(chk)) and np.abs(chk).max() < 10.0
+    cpu_rate = BASELINE_SAMPLES / cpu_best(
+        lambda r: serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
+                                            np.random.default_rng(r)))
 
-    # sanity: each 1000-sample product of two unit-ish Gaussian mixtures
-    # stays bounded (check the first product's block)
-    pts = np.asarray(out[0][:, :N_OUT])
-    assert np.all(np.isfinite(pts)) and np.abs(pts).max() < 10.0
+    # --- config 1: 1-D LOOCV fit + evaluate + resample (README.md:36-38) ----
+    x1d = np.concatenate([rng.normal(size=50), 10.0 + 2.0 * rng.normal(size=50)])
+    grid = np.linspace(x1d.min(), x1d.max(), 200)
 
-    # --- serial CPU baseline (best of 3 runs for stability) -----------------
-    cpu_rate = 0.0
-    for rep in range(3):
+    def flow1(s):
+        p = kde(jnp.asarray(x1d[None, :], dtype=dtype))      # device LOOCV
+        v = p(grid)
+        r = resample(p, 75, "lcv", key=jax.random.PRNGKey(s))
+        return jnp.sum(v) + jnp.sum(r.points) + jnp.sum(r.bw)
+    # flows are independent -> take the better of sequential latency and
+    # pipelined serving throughput (the whole flow is device-resident: no
+    # readback between fit, eval and the resample refit)
+    rate1 = tpu_pipelined(flow1, reps=10, rounds=4)
+    t_best = 1e9
+    for r in range(4):
         t0 = time.perf_counter()
-        serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
-                                  np.random.default_rng(rep))
-        cpu_rate = max(cpu_rate,
-                       BASELINE_SAMPLES / (time.perf_counter() - t0))
+        fence(flow1(100 + r))
+        t_best = min(t_best, time.perf_counter() - t0)
+    rate1 = max(rate1, 1.0 / t_best)
+    cpu_t = cpu_best(lambda r: _serial_flow_1d(x1d))
+    results.append({
+        "metric": "1D LOOCV fit+eval+resample (N=100, README cfg 1)",
+        "value": round(rate1, 2), "unit": "flows/s",
+        "vs_baseline": round(rate1 * cpu_t, 2)})
+
+    # companion at N=10k (fit + evaluate): the regime where the N^2 LOOCV
+    # entropy is real work -- the reference's own examples stay at N<=300
+    # because the serial N^2 golden search does not scale
+    x10k = np.concatenate([rng.normal(size=5000),
+                           10.0 + 2.0 * rng.normal(size=5000)])
+    grid10k = np.linspace(x10k.min(), x10k.max(), 200)
+
+    def flow10k(s):
+        p = kde(jnp.asarray(x10k[None, :], dtype=dtype))
+        return jnp.sum(p(grid10k)) + jnp.sum(p.bw)
+    fence(flow10k(0))
+    t_best = 1e9
+    for r in range(4):
+        t0 = time.perf_counter()
+        fence(flow10k(r + 1))
+        t_best = min(t_best, time.perf_counter() - t0)
+    cpu_t = cpu_best(lambda r: _serial_flow_1d(x10k, n_res=0), rounds=1)
+    results.append({
+        "metric": "1D LOOCV fit+evaluate (N=10000)",
+        "value": round(1.0 / t_best, 2), "unit": "flows/s",
+        "vs_baseline": round(cpu_t / t_best, 2)})
+
+    # --- config 2: 2-D product of two 100-comp KDEs (README.md:56-61) -------
+    d100 = [kde(rng.normal(size=(2, 100)), [0.2], dtype=dtype),
+            kde(rng.normal(size=(2, 100)) + 0.5, [0.2], dtype=dtype)]
+    rate = tpu_pipelined(
+        lambda s: prod_appx_ms_gibbs(100, d100, n_iter=5,
+                                     key=jax.random.PRNGKey(s))[0],
+        per_call=100)
+    t100 = [p.tree for p in d100]
+    cpu = 100 / cpu_best(
+        lambda r: serial_gibbs_product_fast(t100, 100, 5,
+                                            np.random.default_rng(r)))
+    results.append({
+        "metric": "2D product 2x100-comp Niter=5 (README cfg 2)",
+        "value": round(rate, 1), "unit": "samples/s",
+        "vs_baseline": round(rate / cpu, 2)})
+
+    # --- config 3: Beta x Rayleigh 1-D product (README.md:76-80) ------------
+    beta = rng.beta(1.0, 0.45, size=300)
+    rayl = rng.rayleigh(0.5, size=100) - 0.5
+    pb = kde(jnp.asarray(beta[None, :], dtype=dtype))        # LOOCV fits
+    pr = kde(jnp.asarray(rayl[None, :], dtype=dtype))
+    rate = tpu_pipelined(
+        lambda s: prod_appx_ms_gibbs(100, [pb, pr], n_iter=5,
+                                     key=jax.random.PRNGKey(s))[0],
+        per_call=100)
+    tbr = [pb.tree, pr.tree]
+    cpu = 100 / cpu_best(
+        lambda r: serial_gibbs_product_fast(tbr, 100, 5,
+                                            np.random.default_rng(r)))
+    results.append({
+        "metric": "1D Beta(1,.45) x Rayleigh(.5) product (README cfg 3)",
+        "value": round(rate, 1), "unit": "samples/s",
+        "vs_baseline": round(rate / cpu, 2)})
+
+    # --- config 4: 4-D multimodal end-to-end `*` (README.md:91-97) ----------
+    n4 = 200
+    pts4 = np.vstack([2 * rng.normal(size=(1, n4)) + 3,
+                      np.concatenate([2 * rng.normal(size=n4 // 2) + 3,
+                                      2 * rng.normal(size=n4 // 2) - 3])[None],
+                      2 * rng.normal(size=(2, n4)) + 3])
+    p4 = kde(jnp.asarray(rng.normal(size=(4, 100)), dtype=dtype))
+    q4 = kde(jnp.asarray(pts4, dtype=dtype))
+    n_out4 = 150
+
+    def star4(s):
+        pq = product([p4, q4], key=jax.random.PRNGKey(s))
+        return jnp.sum(pq.points) + jnp.sum(pq.bw)
+    fence(star4(0))
+    t_best = 1e9
+    for r in range(6):
+        t0 = time.perf_counter()
+        fence(star4(r + 1))
+        t_best = min(t_best, time.perf_counter() - t0)
+    t4 = [p4.tree, q4.tree]
+
+    def cpu4(r):
+        pts, _ = serial_gibbs_product_fast(t4, n_out4, 5,
+                                           np.random.default_rng(r))
+        _serial_loocv_bw(pts.T, np.full(n_out4, 1.0 / n_out4))
+    cpu_t = cpu_best(cpu4)
+    results.append({
+        "metric": "4D multimodal end-to-end p*q incl. LOOCV refit (README cfg 4)",
+        "value": round(n_out4 / t_best, 1), "unit": "samples/s",
+        "vs_baseline": round(cpu_t / t_best, 2)})
+
+    # --- config 5: partial/consensus product, 1000 comps each ---------------
+    # (test/testPartialProd.jl:41-53 at consensus scale, ConsensusExample.jl)
+    m1 = kde(np.vstack([rng.uniform(0, 10, 1000),
+                        rng.normal(size=1000) * 5]), [0.5, 8.0], dtype=dtype)
+    m2 = kde(np.vstack([rng.normal(size=1000) * 5,
+                        rng.uniform(-10, 0, 1000)]), [8.0, 0.5], dtype=dtype)
+    m3 = kde(np.vstack([rng.uniform(0, 10, 1000),
+                        rng.uniform(-10, 0, 1000)]), [0.5, 0.5], dtype=dtype)
+    mask = [[1, 0], [0, 1], [1, 1]]
+    rate = tpu_pipelined(
+        lambda s: prod_appx_ms_gibbs(100, [m1, m2, m3], n_iter=5,
+                                     partial_dim_mask=mask,
+                                     key=jax.random.PRNGKey(s))[0],
+        per_call=100)
+    # acceptance: samples land in the intersection box (reference :47-53)
+    pc = np.asarray(prod_appx_ms_gibbs(100, [m1, m2, m3], n_iter=5,
+                                       partial_dim_mask=mask,
+                                       key=jax.random.PRNGKey(3))[0])
+    assert np.sum((0 < pc[0]) & (pc[0] < 10)
+                  & (-10 < pc[1]) & (pc[1] < 0)) > 80
+    tm = [m1.tree, m2.tree, m3.tree]
+    cpu = 50 / cpu_best(
+        lambda r: serial_gibbs_product_fast(tm, 50, 5,
+                                            np.random.default_rng(r),
+                                            partial_dim_mask=mask))
+    results.append({
+        "metric": "partial-dim consensus product 3x1000-comp (cfg 5)",
+        "value": round(rate, 1), "unit": "samples/s",
+        "vs_baseline": round(rate / cpu, 2)})
 
     print(json.dumps({
         "metric": "gibbs product samples/s (2x1000-comp 2D KDE, Niter=5)",
         "value": round(tpu_rate, 2),
         "unit": "samples/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "configs": results,
     }))
 
 

@@ -18,19 +18,29 @@ from ..density import KDE, kde
 from ..utils.random import ensure_key
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _sample_core(points, bw, weights, key, *, n):
+    """Weight-CDF draw + bandwidth jitter as ONE program (each eager op is a
+    dispatch round trip on the axon runtime; fusing the ~8-op chain matters
+    for pipelined serving flows)."""
+    ku, kn = jax.random.split(key)
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    u = jnp.sort(jax.random.uniform(ku, (n,), dtype=points.dtype))
+    ind = jnp.searchsorted(cdf, u, side="right")
+    ind = jnp.clip(ind, 0, points.shape[0] - 1)
+    noise = jax.random.normal(kn, (n, points.shape[1]), dtype=points.dtype)
+    pts = points[ind] + jnp.sqrt(bw[ind]) * noise
+    return pts.T, ind
+
+
 def sample(p: KDE, n: int, key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Draw ``n`` points; returns ``(points [d, n], kernel_indices [n])``
     (reference src/KDE01.jl:164-183; indices are 0-based here)."""
-    key = ensure_key(key)
-    ku, kn = jax.random.split(key)
-    cdf = jnp.cumsum(p.weights)
-    cdf = cdf / cdf[-1]
-    u = jnp.sort(jax.random.uniform(ku, (n,), dtype=p.points.dtype))
-    ind = jnp.searchsorted(cdf, u, side="right")
-    ind = jnp.clip(ind, 0, p.npts - 1)
-    noise = jax.random.normal(kn, (n, p.ndim), dtype=p.points.dtype)
-    pts = p.points[ind] + jnp.sqrt(p.bw[ind]) * noise
-    return pts.T, ind
+    return _sample_core(p.points, p.bw, p.weights, ensure_key(key), n=n)
 
 
 def sample_at(p: KDE, ind, key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -184,6 +184,7 @@ def serial_gibbs_product_fast(trees: Sequence[FlatBallTree],
                               n_iter: int,
                               rng: np.random.Generator,
                               add_entropy: bool = True,
+                              partial_dim_mask: Optional[np.ndarray] = None,
                               ) -> Tuple[np.ndarray, np.ndarray]:
     """Chain-serial baseline with NumPy-vectorized per-level inner loops.
 
@@ -199,6 +200,11 @@ def serial_gibbs_product_fast(trees: Sequence[FlatBallTree],
     d = trees[0].dims
     max_np = max([n_out] + [t.num_points for t in trees])
     n_levels = int(math.floor(math.log(float(max_np)) / math.log(2.0) + 1.0))
+    mask = (np.ones((dn, d), dtype=bool) if partial_dim_mask is None
+            else np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d))
+    union_other = np.stack([
+        np.any(np.delete(mask, j, axis=0), axis=0) for j in range(dn)])
+    act = mask & union_other                          # [dn, d] logit dims
 
     # precompute per-level node stats (host, once -- the reference's trees
     # play the same role)
@@ -214,58 +220,66 @@ def serial_gibbs_product_fast(trees: Sequence[FlatBallTree],
         ind = np.array([t.root for t in trees])
         mu_sel = np.stack([trees[j].means[ind[j]] for j in range(dn)])
         var_sel = np.stack([trees[j].bandwidth[ind[j]] for j in range(dn)])
+        if partial_dim_mask is not None:
+            mu_sel = np.where(mask, mu_sel, 0.0)
+            var_sel = np.where(mask, var_sel, 0.0)
+
+        full = partial_dim_mask is None     # fast path: no masking arithmetic
 
         def gauss_product(skip):
-            lam = 1.0 / var_sel                       # [dn, d]
+            if full:
+                lam = 1.0 / var_sel                   # [dn, d]
+            else:
+                lam = np.where(mask & (var_sel > 0), 1.0 / np.where(
+                    var_sel > 0, var_sel, 1.0), 0.0)
+            mus = mu_sel
             if skip >= 0:
                 lam = np.delete(lam, skip, axis=0)
-                mus = np.delete(mu_sel, skip, axis=0)
-            else:
-                mus = mu_sel
+                mus = np.delete(mus, skip, axis=0)
             lam_tot = lam.sum(axis=0)
-            cov = 1.0 / lam_tot
+            if full:
+                cov = 1.0 / lam_tot
+            else:
+                cov = np.where(lam_tot > 0, 1.0 / np.where(
+                    lam_tot > 0, lam_tot, 1.0), 0.0)
             return cov * (lam * mus).sum(axis=0), cov
+
+        def select(j, center, extra_cov, u):
+            nodes = lvl_nodes[j][l]
+            m = trees[j].means[nodes]                 # [n_l, d]
+            b = trees[j].bandwidth[nodes]
+            if extra_cov is not None:
+                b = b + extra_cov[None, :]
+            w = trees[j].weights[nodes]
+            dlt = m - center[None, :]
+            per = (dlt * dlt / b) + np.log(b)
+            if not full:
+                per = np.where(act[j][None, :], per, 0.0)
+            p = np.exp(-0.5 * per.sum(axis=1)) * w
+            tot = p.sum()
+            if tot < 1e-99:
+                p[:] = 1.0
+                tot = p.size
+            cdf = np.cumsum(p / tot)
+            z = min(np.searchsorted(cdf, u), p.size - 1)
+            ind[j] = nodes[z]
+            if full:
+                mu_sel[j] = trees[j].means[ind[j]]
+                var_sel[j] = trees[j].bandwidth[ind[j]]
+            else:
+                mu_sel[j] = np.where(mask[j], trees[j].means[ind[j]], 0.0)
+                var_sel[j] = np.where(mask[j], trees[j].bandwidth[ind[j]], 0.0)
 
         for l in range(1, n_levels + 1):
             mu, cov = gauss_product(-1)
             x = mu + np.sqrt(cov) * rng.standard_normal(d)
             ind = np.array([downs[j][ind[j]] for j in range(dn)])
             for j in range(dn):
-                nodes = lvl_nodes[j][l]
-                m = trees[j].means[nodes]             # [n_l, d]
-                b = trees[j].bandwidth[nodes]
-                w = trees[j].weights[nodes]
-                dlt = m - x[None, :]
-                logp = -0.5 * ((dlt * dlt / b) + np.log(b)).sum(axis=1)
-                p = np.exp(logp) * w
-                tot = p.sum()
-                if tot < 1e-99:
-                    p[:] = 1.0
-                    tot = p.size
-                cdf = np.cumsum(p / tot)
-                z = min(np.searchsorted(cdf, rng.uniform()), p.size - 1)
-                ind[j] = nodes[z]
-                mu_sel[j] = trees[j].means[ind[j]]
-                var_sel[j] = trees[j].bandwidth[ind[j]]
+                select(j, x, None, rng.uniform())
             for _ in range(n_iter):
                 for j in range(dn):
                     mu, cov = gauss_product(j)
-                    nodes = lvl_nodes[j][l]
-                    m = trees[j].means[nodes]
-                    b = trees[j].bandwidth[nodes] + cov[None, :]
-                    w = trees[j].weights[nodes]
-                    dlt = m - mu[None, :]
-                    logp = -0.5 * ((dlt * dlt / b) + np.log(b)).sum(axis=1)
-                    p = np.exp(logp) * w
-                    tot = p.sum()
-                    if tot < 1e-99:
-                        p[:] = 1.0
-                        tot = p.size
-                    cdf = np.cumsum(p / tot)
-                    z = min(np.searchsorted(cdf, rng.uniform()), p.size - 1)
-                    ind[j] = nodes[z]
-                    mu_sel[j] = trees[j].means[ind[j]]
-                    var_sel[j] = trees[j].bandwidth[ind[j]]
+                    select(j, mu, cov, rng.uniform())
 
         for j in range(dn):
             out_idx[j, s] = trees[j].permutation[ind[j]]
