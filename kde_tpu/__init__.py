@@ -30,6 +30,20 @@ from . import manifolds
 from .ops.gibbs import (BatchedProductSampler, ProductSampler,
                         prod_appx_ms_gibbs, product, product_batched)
 
+# Type-name compatibility aliases: the reference's density type is
+# `BallTreeDensity <: MixtureDensity` (src/BallTreeDensity01.jl:9-24) and it
+# exports the `VectorRange{T} = Union{Vector{T},UnitRange{T}}` argument alias
+# (src/KernelDensityEstimate.jl:63).  Downstream code doing
+# `isinstance(x, BallTreeDensity)` or annotating with VectorRange ports
+# directly.
+BallTreeDensity = KDE
+MixtureDensity = KDE
+try:                                    # typing alias (annotation use only)
+    from typing import Sequence as _Seq, Union as _Union
+    VectorRange = _Union[_Seq[int], _Seq[float], range]
+except Exception:                       # pragma: no cover
+    VectorRange = object
+
 __all__ = [
     "KDE", "kde",
     "entropy", "eval_avg_logl", "kld", "minkld", "inters_intg_appx_is",
@@ -41,5 +55,6 @@ __all__ = [
     "product", "product_batched",
     "evaluate_dual_tree", "ksize", "nloo_ll",
     "FlatBallTree", "build_balltree",
+    "BallTreeDensity", "MixtureDensity", "VectorRange",
     "set_seed", "set_force_eval_direct", "manifolds",
 ]

@@ -142,6 +142,20 @@ class KDE:
     def get_weights(self, ind=None) -> Array:
         return self.weights if ind is None else self.weights[jnp.asarray(ind)]
 
+    def bw_min(self, i: int = 0) -> np.ndarray:
+        """Per-dim lower bandwidth (variance) bound below tree node ``i``
+        (reference ``bwMin``, src/BallTreeDensity01.jl:98-99; uniform-
+        bandwidth densities return the shared bandwidth for every node,
+        matching the reference's multibandwidth=0 stride)."""
+        t = self.tree
+        return np.asarray(t.bw_min if not t.multibandwidth else t.bw_min[i])
+
+    def bw_max(self, i: int = 0) -> np.ndarray:
+        """Per-dim upper bandwidth (variance) bound below tree node ``i``
+        (reference ``bwMax``, src/BallTreeDensity01.jl:95-96)."""
+        t = self.tree
+        return np.asarray(t.bw_max if not t.multibandwidth else t.bw_max[i])
+
     def marginal(self, dims: Sequence[int]) -> "KDE":
         """Marginal KDE over the selected dims (reference src/KDE01.jl:143-153)."""
         dims = list(dims)

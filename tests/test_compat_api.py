@@ -72,3 +72,24 @@ def test_fence_forces_completion():
     v = fence(jnp.ones((3, 3)), (jnp.zeros(4), jnp.arange(5)))
     assert v == 9.0 + 0.0 + 10.0
     assert fence() == 0.0
+
+
+def test_type_aliases_and_bw_bounds():
+    """Reference type aliases (BallTreeDensity/MixtureDensity,
+    src/BallTreeDensity01.jl:9-24; VectorRange,
+    src/KernelDensityEstimate.jl:63) and the bwMin/bwMax accessors
+    (src/BallTreeDensity01.jl:95-99)."""
+    assert kde_tpu.BallTreeDensity is kde_tpu.KDE
+    assert kde_tpu.MixtureDensity is kde_tpu.KDE
+    assert hasattr(kde_tpu, "VectorRange")
+    p = kde(np.array([[0.0, 1.0, 2.0]]), [0.5])
+    assert isinstance(p, kde_tpu.BallTreeDensity)
+    # uniform bandwidth: bounds equal the shared variance at every node
+    np.testing.assert_allclose(p.bw_min(), [0.25])
+    np.testing.assert_allclose(p.bw_max(2), [0.25])
+    # multibandwidth: per-node bounds bracket the per-kernel variances
+    bwm = np.array([[0.1, 0.2, 0.4]])
+    q = kde(np.array([[0.0, 1.0, 2.0]]), bwm)
+    root_min, root_max = q.bw_min(0), q.bw_max(0)
+    np.testing.assert_allclose(root_min, [0.01])
+    np.testing.assert_allclose(root_max, [0.16])
