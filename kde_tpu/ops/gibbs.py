@@ -150,17 +150,42 @@ class _ProductPlan:
 _plan_cache: dict = {}
 
 
-def _get_plan(densities: Sequence[KDE], n_out: int, dtype) -> _ProductPlan:
+def _resolve_plan_impl(densities: Sequence[KDE], plan: str,
+                       replay: bool) -> str:
+    """``auto``: build the level hierarchy ON DEVICE when any density is
+    device-resident (no retained host arrays -- e.g. the output of a
+    previous product), since the host builder would force the documented
+    dispatch-degrading readback; otherwise the host builder is free and
+    stays bit-parity with the golden fixtures.  Replay mode always uses the
+    host plan (the device hierarchy is statistically equivalent, not
+    trace-identical in d>1; ops/device_plan.py parity contract)."""
+    if plan == "auto":
+        if replay:
+            return "host"
+        dev = any(p._host_points is None and p._tree is None
+                  for p in densities)
+        return "device" if dev else "host"
+    if plan not in ("host", "device"):
+        raise ValueError(f"plan must be auto|host|device, got {plan!r}")
+    return plan
+
+
+def _get_plan(densities: Sequence[KDE], n_out: int, dtype,
+              impl: str = "host") -> _ProductPlan:
     import weakref
     ids = tuple(id(p) for p in densities)
     npts = tuple(p.npts for p in densities)
     max_np = max((n_out,) + npts)
     n_levels = int(math.floor(math.log(float(max_np)) / math.log(2.0)) + 1.0)
-    key = (ids, npts, n_levels, str(dtype))
+    key = (ids, npts, n_levels, str(dtype), impl)
     hit = _plan_cache.get(key)
     if hit is not None:
         return hit
-    plan = _ProductPlan(densities, n_out, dtype)
+    if impl == "device":
+        from .device_plan import DeviceProductPlan
+        plan = DeviceProductPlan(densities, n_out, dtype)
+    else:
+        plan = _ProductPlan(densities, n_out, dtype)
     _plan_cache[key] = plan
 
     def _evict(key=key):
@@ -454,7 +479,8 @@ def prod_appx_ms_gibbs(npd0,
                        rand_n: Optional[np.ndarray] = None,
                        record_labels: bool = False,
                        key=None,
-                       dtype=None):
+                       dtype=None,
+                       plan: str = "auto"):
     """Draw samples from (an approximation of) the product of ``densities``.
 
     Mirrors the reference ``prodAppxMSGibbsS`` (src/MSGibbs01.jl:645-703):
@@ -475,6 +501,9 @@ def prod_appx_ms_gibbs(npd0,
         consumption order ("replay mode", see :691-695); otherwise ``key``.
       record_labels: also return per-level label choices
         (``labelsChoosen``, :109-112).
+      plan: ``auto`` (device-built level hierarchy for device-resident
+        densities, host ball tree otherwise), ``host``, or ``device``
+        (ops/device_plan.py).
 
     Returns ``(points [d, Np], indices [ndens, Np])`` -- 0-based kernel
     labels -- plus ``labels [Np, ndens, n_levels]`` if ``record_labels``.
@@ -483,7 +512,8 @@ def prod_appx_ms_gibbs(npd0,
     densities = list(densities)
     if dtype is None:
         dtype = densities[0].points.dtype
-    plan = _get_plan(densities, n_out, dtype)
+    impl = _resolve_plan_impl(densities, plan, replay=rand_u is not None)
+    plan = _get_plan(densities, n_out, dtype, impl)
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
     if partial_dim_mask is None:
@@ -683,16 +713,19 @@ class BatchedProductSampler:
 
     def __init__(self, density_sets, n_out: int, n_iter: int = 5,
                  add_entropy: bool = True, partial_dim_masks=None,
-                 dtype=None, mesh=None):
+                 dtype=None, mesh=None, plan: str = "auto"):
         """``mesh``: optional 1-axis ``jax.sharding.Mesh``; the set axis is
         sharded over it (each chip runs its sets' products -- the
         graph-parallel axis of belief propagation).  The mesh size must
-        divide ``B``."""
+        divide ``B``.  ``plan``: auto|host|device level-hierarchy builder
+        (auto picks the device builder for device-resident message
+        densities -- the refresh() path of a BP loop never reads back)."""
         self.n_out = n_out
         self.n_iter = n_iter
         self.add_entropy = add_entropy
         self.dtype = dtype
         self.mesh = mesh
+        self.plan_impl = plan
         self._build(density_sets, partial_dim_masks)
 
     def _build(self, density_sets, partial_dim_masks):
@@ -715,7 +748,9 @@ class BatchedProductSampler:
                         "addop/diffop hooks; use prod_appx_ms_gibbs per "
                         "product for on-manifold densities")
         dtype = self.dtype or sets[0][0].points.dtype
-        plans = [_get_plan(ds, self.n_out, dtype) for ds in sets]
+        plans = [_get_plan(ds, self.n_out, dtype,
+                           _resolve_plan_impl(ds, self.plan_impl, False))
+                 for ds in sets]
         p0 = plans[0]
         self.B = len(sets)
         self.ndens, self.ndim = p0.ndens, p0.ndim
@@ -771,7 +806,7 @@ class ProductSampler:
 
     def __init__(self, densities: Sequence[KDE], n_out: int,
                  n_iter: int = 5, add_entropy: bool = True,
-                 partial_dim_mask=None, dtype=None):
+                 partial_dim_mask=None, dtype=None, plan: str = "auto"):
         self.densities = list(densities)
         if dtype is None:
             dtype = self.densities[0].points.dtype
@@ -779,7 +814,8 @@ class ProductSampler:
         self.n_out = n_out
         self.n_iter = n_iter
         self.add_entropy = add_entropy
-        self.plan = _get_plan(self.densities, n_out, dtype)
+        self.plan = _get_plan(self.densities, n_out, dtype,
+                              _resolve_plan_impl(self.densities, plan, False))
         dn, d = self.plan.ndens, self.plan.ndim
         if partial_dim_mask is None:
             self.mask_np = np.ones((dn, d), dtype=bool)
