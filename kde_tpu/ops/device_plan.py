@@ -267,6 +267,44 @@ def _plan_program(npts: Tuple[int, ...], d: int, n_levels: int,
     return jax.jit(assemble), offsets, nodes_cat.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=32)
+def _batched_plan_program(npts: Tuple[int, ...], d: int, n_levels: int,
+                          dtype_name: str):
+    prog, offsets, nodes_cat = _plan_program(npts, d, n_levels, dtype_name)
+    return jax.jit(jax.vmap(prog)), offsets, nodes_cat
+
+
+def batched_device_plans(density_sets, n_out: int, dtype):
+    """Device plan arrays for ``B`` same-shaped density sets in ONE dispatch
+    (the BatchedProductSampler build/refresh path: every BP iteration swaps
+    in fresh message densities, so the plan build is per-iteration work).
+
+    Returns ``(lvl_arrays, t_mean, t_bw, offsets, n_levels)`` with a leading
+    set axis on every array, matching what BatchedProductSampler stacks from
+    per-set plans.
+    """
+    sets = [list(ds) for ds in density_sets]
+    B = len(sets)
+    dn = len(sets[0])
+    d = sets[0][0].ndim
+    npts = tuple(p.npts for p in sets[0])
+    max_np = max((n_out,) + npts)
+    n_levels = int(math.floor(math.log(float(max_np)) / math.log(2.0)) + 1.0)
+    prog, offsets, nodes_cat = _batched_plan_program(
+        npts, d, n_levels, jnp.dtype(dtype).name)
+    flat = ([jnp.stack([jnp.asarray(sets[b][j].points, dtype=dtype)
+                        for b in range(B)]) for j in range(dn)]
+            + [jnp.stack([jnp.asarray(sets[b][j].bw, dtype=dtype)
+                          for b in range(B)]) for j in range(dn)]
+            + [jnp.stack([jnp.asarray(sets[b][j].weights, dtype=dtype)
+                          for b in range(B)]) for j in range(dn)])
+    t_mean, t_bw, lvl_mean, lvl_bw, lvl_logw, lvl_ms, lvl_perm = prog(*flat)
+    lvl_nodes = jnp.broadcast_to(jnp.asarray(nodes_cat),
+                                 (B,) + nodes_cat.shape)
+    lvl_arrays = (lvl_nodes, lvl_mean, lvl_bw, lvl_logw, lvl_ms, lvl_perm)
+    return lvl_arrays, t_mean, t_bw, list(offsets), n_levels
+
+
 class DeviceProductPlan:
     """Drop-in replacement for ops.gibbs._ProductPlan whose level arrays are
     computed ON DEVICE from the densities' (points, bw, weights) -- no host

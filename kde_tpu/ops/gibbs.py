@@ -748,17 +748,26 @@ class BatchedProductSampler:
                         "addop/diffop hooks; use prod_appx_ms_gibbs per "
                         "product for on-manifold densities")
         dtype = self.dtype or sets[0][0].points.dtype
-        plans = [_get_plan(ds, self.n_out, dtype,
-                           _resolve_plan_impl(ds, self.plan_impl, False))
-                 for ds in sets]
-        p0 = plans[0]
+        impls = [_resolve_plan_impl(ds, self.plan_impl, False) for ds in sets]
         self.B = len(sets)
-        self.ndens, self.ndim = p0.ndens, p0.ndim
-        self.n_levels, self.offsets = p0.n_levels, tuple(p0.offsets)
-        self.lvl_arrays = tuple(jnp.stack(a)
-                                for a in zip(*(p.lvl_arrays for p in plans)))
-        self.t_mean = jnp.stack([p.t_mean for p in plans])
-        self.t_bw = jnp.stack([p.t_bw for p in plans])
+        self.ndens = len(sets[0])
+        self.ndim = sets[0][0].ndim
+        if all(i == "device" for i in impls):
+            # all-device-resident sets (the BP refresh pattern): build every
+            # set's plan in ONE vmapped dispatch
+            from .device_plan import batched_device_plans
+            (self.lvl_arrays, self.t_mean, self.t_bw, offsets,
+             self.n_levels) = batched_device_plans(sets, self.n_out, dtype)
+            self.offsets = tuple(offsets)
+        else:
+            plans = [_get_plan(ds, self.n_out, dtype, impl)
+                     for ds, impl in zip(sets, impls)]
+            p0 = plans[0]
+            self.n_levels, self.offsets = p0.n_levels, tuple(p0.offsets)
+            self.lvl_arrays = tuple(
+                jnp.stack(a) for a in zip(*(p.lvl_arrays for p in plans)))
+            self.t_mean = jnp.stack([p.t_mean for p in plans])
+            self.t_bw = jnp.stack([p.t_bw for p in plans])
         if partial_dim_masks is None:
             self.mask = jnp.ones((self.B, self.ndens, self.ndim), bool)
         else:

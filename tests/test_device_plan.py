@@ -165,3 +165,28 @@ def test_device_plan_product_moments():
                       for i in range(D)))
         wins += ok
     assert wins >= 5
+
+
+def test_batched_sampler_device_sets_matches_individual():
+    """BatchedProductSampler over device-resident sets (one vmapped plan
+    build) must equal per-set device-plan products with the same split
+    keys."""
+    from kde_tpu import BatchedProductSampler
+    rng = np.random.default_rng(7)
+    base = [kde(rng.normal(size=(2, 32)) + 0.3 * b, [0.4]) for b in range(3)]
+    # make the message densities device-resident (products of the bases)
+    msgs = [product([base[b], base[(b + 1) % 3]],
+                    key=jax.random.PRNGKey(10 + b)) for b in range(3)]
+    for m in msgs:
+        assert m._host_points is None
+    sets = [[msgs[0], msgs[1]], [msgs[1], msgs[2]]]
+    bs = BatchedProductSampler(sets, n_out=16, n_iter=2)
+    key = jax.random.PRNGKey(5)
+    pts, lab = bs.sample(key)
+    keys = jax.random.split(key, 2)
+    for b, ds in enumerate(sets):
+        e_pts, e_lab = prod_appx_ms_gibbs(16, ds, n_iter=2, key=keys[b],
+                                          plan="device")
+        np.testing.assert_allclose(np.asarray(pts[b]), np.asarray(e_pts),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_array_equal(np.asarray(lab[b]), np.asarray(e_lab))
