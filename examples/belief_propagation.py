@@ -32,12 +32,14 @@ prior_x2 = kde(rng.normal(2 * DELTA, 0.6, size=(1, N)), [0.5],
                dtype=np.float32)
 
 
-def shift(msg, delta):
+def shift(msg, delta, key):
     """Propagate a belief through the pairwise potential x_j = x_i + delta
-    (+ process noise): shift the kernel centers."""
-    pts = msg.host_points() + delta
-    return kde(pts + rng.normal(0, 0.3, size=pts.shape), [0.6],
-               dtype=np.float32)
+    (+ process noise): shift the kernel centers ON DEVICE -- the whole NBP
+    loop stays device-resident (device-built product plans; no readbacks
+    until the final diagnostics)."""
+    noise = 0.3 * jax.random.normal(key, msg.get_points().shape,
+                                    dtype=msg.points.dtype)
+    return kde(msg.get_points() + delta + noise, [0.6])
 
 
 # initialize beliefs with the priors (x1 starts diffuse between them)
@@ -48,19 +50,22 @@ belief = [prior_x0,
 
 for it in range(3):
     # messages into each node from its neighbors (+ unary where present)
+    ks = jax.random.split(jax.random.PRNGKey(100 + it), 4)
     sets = [
-        [prior_x0, shift(belief[1], -DELTA)],                   # into x0
-        [shift(belief[0], +DELTA), shift(belief[2], -DELTA)],   # into x1
-        [prior_x2, shift(belief[1], +DELTA)],                   # into x2
+        [prior_x0, shift(belief[1], -DELTA, ks[0])],                 # into x0
+        [shift(belief[0], +DELTA, ks[1]),
+         shift(belief[2], -DELTA, ks[2])],                           # into x1
+        [prior_x2, shift(belief[1], +DELTA, ks[3])],                 # into x2
     ]
     sampler = (BatchedProductSampler(sets, n_out=N, n_iter=5)
                if it == 0 else sampler)
     if it > 0:
-        sampler.refresh(sets)        # same shapes: no recompilation
+        sampler.refresh(sets)        # same shapes: no recompilation; the
+                                     # device-resident message sets rebuild
+                                     # all plans in one vmapped dispatch
     pts, _ = sampler.sample(jax.random.PRNGKey(it))
-    belief = [kde(np.asarray(pts[i]), [0.5], dtype=np.float32)
-              for i in range(3)]
-    means = [float(b.host_points().mean()) for b in belief]
+    belief = [kde(pts[i], [0.5]) for i in range(3)]   # device-resident
+    means = [float(np.asarray(b.points.mean())) for b in belief]
     print(f"iter {it}: belief means = "
           + ", ".join(f"x{i}={m:6.2f}" for i, m in enumerate(means)))
 

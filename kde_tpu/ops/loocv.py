@@ -277,8 +277,12 @@ def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
 def ksize(p, dtype=jnp.float64):
     """LOOCV-refit of a density: select a fresh per-dim bandwidth for ``p``'s
     points/weights and return the refit KDE (reference ksize,
-    src/CrossValidation.jl:110-120)."""
+    src/CrossValidation.jl:110-120).  Device-resident densities refit fully
+    on device (sort-based bracket; no readback)."""
     from ..density import kde
+    if p._host_points is None:                       # device-resident
+        bwds = ksize_bandwidths_device(p.points, p.weights, dtype=p.points.dtype)
+        return kde(p.get_points(), bwds, p.weights)
     pts = np.asarray(p.get_points(), dtype=np.float64)
     w = np.asarray(p.get_weights(), dtype=np.float64)
     bwds = ksize_bandwidths(pts.T, w, dtype=dtype)
