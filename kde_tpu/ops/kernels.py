@@ -118,6 +118,14 @@ def log_eval_loo(points: jnp.ndarray,
     ``log p_-j(x_j) = log( sum_{i != j} w_i K(x_j; x_i) / (1 - w_j) )``
     (reference src/DualTree01.jl:146,222-227,333-336)."""
     n = points.shape[0]
+    if diffop is None:
+        from .. import config
+        if n * n > config.DIRECT_PAIR_LIMIT:
+            # bound the live [chunk, N] logit working set (same auto-chunk
+            # rule as forward evaluation, density.KDE.log_eval)
+            return log_eval_loo_chunked(
+                points, var, weights,
+                max(1, config.DIRECT_PAIR_LIMIT // n))
     logw = jnp.log(weights)
     lp = log_gauss_mixture(points, points, var, logw, diffop,
                            exclude=jnp.arange(n))

@@ -120,3 +120,23 @@ def test_marginal_consistency():
     got = np.asarray(m.evaluate(x))
     q = kde(pts[1:2, :], [0.5])
     np.testing.assert_allclose(got, np.asarray(q.evaluate(x)), rtol=1e-12)
+
+
+def test_log_eval_loo_auto_chunk_matches_dense(monkeypatch):
+    """Above DIRECT_PAIR_LIMIT the LOO self-evaluation (entropy,
+    evaluate(lv_flag=True)) auto-chunks; results must match the dense
+    [N, N] path exactly."""
+    import jax.numpy as jnp
+    from kde_tpu import config
+    from kde_tpu.ops.kernels import log_eval_loo
+    rng = np.random.default_rng(11)
+    n = 157
+    pts = jnp.asarray(rng.normal(size=(n, 2)))
+    var = jnp.full((n, 2), 0.2)
+    w = rng.uniform(0.5, 1.5, size=n)
+    w = jnp.asarray(w / w.sum())
+    dense = log_eval_loo(pts, var, w)
+    monkeypatch.setattr(config, "DIRECT_PAIR_LIMIT", 64 * n)
+    chunked = log_eval_loo(pts, var, w)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-12)
