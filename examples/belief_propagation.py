@@ -48,6 +48,7 @@ belief = [prior_x0,
               dtype=np.float32),
           prior_x2]
 
+mean_trace = []
 for it in range(3):
     # messages into each node from its neighbors (+ unary where present)
     ks = jax.random.split(jax.random.PRNGKey(100 + it), 4)
@@ -65,7 +66,12 @@ for it in range(3):
                                      # all plans in one vmapped dispatch
     pts, _ = sampler.sample(jax.random.PRNGKey(it))
     belief = [kde(pts[i], [0.5]) for i in range(3)]   # device-resident
-    means = [float(np.asarray(b.points.mean())) for b in belief]
+    # keep the diagnostics on device too -- a mid-loop fetch would trigger
+    # the documented D2H dispatch cliff; means are read back after the loop
+    mean_trace.append([b.points.mean() for b in belief])
+
+for it, ms in enumerate(mean_trace):
+    means = [float(np.asarray(m)) for m in ms]
     print(f"iter {it}: belief means = "
           + ", ".join(f"x{i}={m:6.2f}" for i, m in enumerate(means)))
 

@@ -305,6 +305,10 @@ def _kde_device(points: Array, bw, weights, addop, diffop, dtype) -> KDE:
 
     if dtype is None:
         dtype = points.dtype
+        if not jnp.issubdtype(dtype, jnp.floating):
+            # integer device input: promote like the host path's float cast
+            dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                     else jnp.float32)
     pts = jnp.asarray(points, dtype=dtype)
     if pts.ndim == 1:
         pts = pts[None, :]

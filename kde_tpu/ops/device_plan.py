@@ -247,7 +247,12 @@ def _plan_program(npts: Tuple[int, ...], d: int, n_levels: int,
             pad = 2 * max_n - m.shape[0]
             t_mean.append(jnp.pad(m, ((0, pad), (0, 0))))
             t_bw.append(jnp.pad(b, ((0, pad), (0, 0)), constant_values=1.0))
-            t_logw.append(jnp.pad(jnp.log(jnp.maximum(wt, 1e-300)),
+            # floor at the dtype's tiny, NOT a fixed 1e-300: at float32 that
+            # literal underflows to 0 and a zero-weight kernel would get
+            # logw=-inf -- flipping the degenerate-fallback predicate vs the
+            # host plan (which computes the log at f64, keeping it finite)
+            tiny = jnp.finfo(wt.dtype).tiny
+            t_logw.append(jnp.pad(jnp.log(jnp.maximum(wt, tiny)),
                                   (0, pad), constant_values=-np.inf))
             t_perm.append(jnp.pad(pm, (0, pad)))
         t_mean = jnp.stack(t_mean)                        # [dn, 2maxN, d]

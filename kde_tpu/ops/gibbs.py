@@ -617,7 +617,7 @@ def product_batched(density_sets,
     products share one search batch), so the whole pipeline is two
     dispatches regardless of B and fully device-resident.
     """
-    from .loocv import _internal_slices
+    from .loocv import _internal_slices, ksize_rows, select_loo_impl
     from .. import config
 
     sets = [list(ds) for ds in density_sets]
@@ -631,42 +631,17 @@ def product_batched(density_sets,
     pts, _ = sampler.sample(key)                     # [B, d, n_out]
     B, d, n = pts.shape
     lo, hi = _internal_slices(n)
-    impl = ("pallas" if n * n > config.LOOCV_PAIR_LIMIT
-            and jax.default_backend() == "tpu"
-            else "chunk" if n * n > config.LOOCV_PAIR_LIMIT else "dense")
-    bwds = _batched_refit(pts.reshape(B * d, n), jnp.asarray(lo),
-                          jnp.asarray(hi), impl=impl,
-                          chunk=int(config.LOOCV_CHUNK))  # [B*d]
+    # the B x d golden searches fold into ONE ksize_rows batch (product
+    # outputs are uniform-weight, so all rows share one weight vector)
+    bwds = ksize_rows(pts.reshape(B * d, n),
+                      jnp.full((n,), 1.0 / n, dtype=pts.dtype),
+                      jnp.asarray(lo), jnp.asarray(hi),
+                      impl=select_loo_impl(n),
+                      chunk=int(config.LOOCV_CHUNK))  # [B*d]
     var = bwds.reshape(B, d) ** 2                    # [B, d]
     return [KDE(pts[b].T, jnp.tile(var[b][None, :], (n, 1)),
                 jnp.full((n,), 1.0 / n, dtype=pts.dtype))
             for b in range(B)]
-
-
-@functools.partial(jax.jit, static_argnames=("impl", "chunk"))
-def _batched_refit(rows, lo, hi, *, impl, chunk):
-    """LOOCV bandwidths for ``B*d`` independent 1-D sample rows ``[R, N]``
-    with uniform weights, as one fused golden-search batch (same bracket and
-    search arithmetic as ops/loocv.py::_ksize_device)."""
-    from .kernels import batched_loo_entropy
-    from .loocv import _golden_core
-    r, n = rows.shape
-    w = jnp.full((n,), 1.0 / n, dtype=rows.dtype)
-    s = jnp.sort(rows, axis=1)                       # [R, N]
-    diag = s[:, hi] - s[:, lo]                       # [R, n_internal]
-    maxm = diag[:, 0]
-    minm = jnp.maximum(jnp.min(diag, axis=1), 1e-6)
-    base = (minm + maxm) / 2.0
-    ax = 2.0 * minm / (minm + maxm)
-    bx = jnp.ones_like(base)
-    cx = 2.0 * maxm / (minm + maxm)
-
-    def nloo(x):
-        scale = (jnp.asarray(x) ** 2).astype(rows.dtype)
-        return batched_loo_entropy(rows, scale, base ** 2, w,
-                                   impl=impl, chunk=chunk)
-    xmin, _ = _golden_core(nloo, ax, bx, cx, 1e-2)
-    return xmin * base
 
 
 @functools.partial(

@@ -138,13 +138,10 @@ def ksize_bandwidths(points: np.ndarray,
     # flash-style evaluator), or lax.map query chunks elsewhere
     # (VERDICT r1 #2 -- joins the tiled evaluator to the golden search).
     from .. import config
-    if n * n > config.LOOCV_PAIR_LIMIT:
-        impl = "pallas" if jax.default_backend() == "tpu" else "chunk"
-    else:
-        impl = "dense"
     xmin = _ksize_search(pts_t, base_var, w_j, jnp.asarray(ax),
                          jnp.asarray(bx), jnp.asarray(cx), tol=float(tol),
-                         impl=impl, chunk=int(config.LOOCV_CHUNK))
+                         impl=select_loo_impl(n),
+                         chunk=int(config.LOOCV_CHUNK))
     return np.asarray(xmin) * base                   # std-dev bandwidths
 
 
@@ -196,6 +193,46 @@ def _internal_slices(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(los, dtype=np.int32), np.asarray(his, dtype=np.int32)
 
 
+def select_loo_impl(n: int) -> str:
+    """LOO-entropy implementation for ``n`` components: ``dense`` below
+    ``config.LOOCV_PAIR_LIMIT`` N*N pairs, else the tiled path (Pallas
+    flash-style on TPU, lax.map query chunks elsewhere).  The single
+    authority for this rule (used by the device fit, the host-bracket fit
+    and the batched product refit)."""
+    from .. import config
+    if n * n > config.LOOCV_PAIR_LIMIT:
+        return "pallas" if jax.default_backend() == "tpu" else "chunk"
+    return "dense"
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
+def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024):
+    """LOOCV bandwidths for ``R`` independent 1-D problems ``rows [R, N]``
+    sharing weights ``w [N]``: sort-based neighborMinMax bracket
+    (sorted-slice extents; reference src/CrossValidation.jl:100-120) + the
+    vectorized golden search, all in one program.  The shared core behind
+    :func:`ksize_bandwidths_device` and the batched product refit."""
+    r, n = rows.shape
+    if n < 2 or lo.shape[0] == 0:
+        minm = maxm = jnp.full((r,), 1e-6, dtype=rows.dtype)
+    else:
+        s = jnp.sort(rows, axis=1)
+        diag = s[:, hi] - s[:, lo]                  # [R, n_internal] extents
+        maxm = diag[:, 0]                           # root slice: full extent
+        minm = jnp.maximum(jnp.min(diag, axis=1), 1e-6)
+    base = (minm + maxm) / 2.0
+    ax = 2.0 * minm / (minm + maxm)
+    bx = jnp.ones_like(base)
+    cx = 2.0 * maxm / (minm + maxm)
+
+    def nloo(x):
+        scale = (jnp.asarray(x) ** 2).astype(rows.dtype)
+        return batched_loo_entropy(rows, scale, base ** 2, w,
+                                   impl=impl, chunk=chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
+    return xmin * base
+
+
 def ksize_bandwidths_device(points,
                             weights=None,
                             tol: float = 1e-2,
@@ -226,36 +263,9 @@ def ksize_bandwidths_device(points,
         w = w / jnp.sum(w)
     lo, hi = _internal_slices(n)
     from .. import config
-    if n * n > config.LOOCV_PAIR_LIMIT:
-        impl = "pallas" if jax.default_backend() == "tpu" else "chunk"
-    else:
-        impl = "dense"
-    return _ksize_device(points, w, jnp.asarray(lo), jnp.asarray(hi),
-                         tol=float(tol), impl=impl,
-                         chunk=int(config.LOOCV_CHUNK))
-
-
-@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
-def _ksize_device(pts, w, lo, hi, *, tol, impl, chunk):
-    n = pts.shape[0]
-    s = jnp.sort(pts, axis=0)                       # [N, d] per-dim sorted
-    if n < 2 or lo.shape[0] == 0:
-        minm = maxm = jnp.full((pts.shape[1],), 1e-6, dtype=pts.dtype)
-    else:
-        diag = s[hi] - s[lo]                        # [n_internal, d] extents
-        maxm = diag[0]                              # root slice = full extent
-        minm = jnp.maximum(jnp.min(diag, axis=0), 1e-6)
-    base = (minm + maxm) / 2.0
-    ax = 2.0 * minm / (minm + maxm)
-    bx = jnp.ones_like(base)
-    cx = 2.0 * maxm / (minm + maxm)
-
-    def nloo(x):
-        scale = (jnp.asarray(x) ** 2).astype(pts.dtype)
-        return batched_loo_entropy(pts.T, scale, base ** 2, w,
-                                   impl=impl, chunk=chunk)
-    xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
-    return xmin * base
+    return ksize_rows(points.T, w, jnp.asarray(lo), jnp.asarray(hi),
+                      tol=float(tol), impl=select_loo_impl(n),
+                      chunk=int(config.LOOCV_CHUNK))
 
 
 def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
@@ -283,7 +293,9 @@ def ksize(p, dtype=jnp.float64):
     if p._host_points is None:                       # device-resident
         bwds = ksize_bandwidths_device(p.points, p.weights, dtype=p.points.dtype)
         return kde(p.get_points(), bwds, p.weights)
-    pts = np.asarray(p.get_points(), dtype=np.float64)
-    w = np.asarray(p.get_weights(), dtype=np.float64)
+    # host-backed: use the retained host copies -- np.asarray(get_points())
+    # would be a device readback (the documented dispatch cliff, BASELINE.md)
+    pts = p.host_points()
+    w = p.host_weights()
     bwds = ksize_bandwidths(pts.T, w, dtype=dtype)
     return kde(pts, bwds, w)

@@ -100,3 +100,22 @@ def test_product_batched_matches_individual():
         np.testing.assert_allclose(np.asarray(outs[b].bw),
                                    np.asarray(expect.bw), rtol=1e-10)
         assert outs[b]._host_points is None
+
+
+def test_kde_integer_device_array_promotes_to_float():
+    """kde() on an integer device array must promote to float like the host
+    path, not build integer weights/variances (review finding r2)."""
+    p = kde(jnp.asarray(np.array([[0, 1, 2, 5]])), [0.5])
+    assert jnp.issubdtype(p.points.dtype, jnp.floating)
+    np.testing.assert_allclose(np.asarray(p.weights), np.full(4, 0.25))
+    v = np.asarray(p(np.array([[1.0]])))
+    assert np.isfinite(v).all() and v[0] > 0
+
+
+def test_product_batched_single_sample_sets():
+    """n_out == 1 (single-component densities): the fused refit must take
+    the degenerate-bracket path, not crash (review finding r2)."""
+    sets = [[kde(np.array([[0.5]]), [0.4]), kde(np.array([[1.0]]), [0.4])]]
+    outs = product_batched(sets, key=jax.random.PRNGKey(0))
+    assert len(outs) == 1 and outs[0].npts == 1
+    assert np.isfinite(np.asarray(outs[0].points)).all()
