@@ -53,8 +53,16 @@ def pairwise_quad(query: jnp.ndarray,
     logdet = jnp.sum(jnp.log(var), axis=1)          # [N]
     if diffop is None:
         inv = 1.0 / var                             # [N, d]
-        a = jnp.dot(query * query, inv.T, preferred_element_type=dtype)
-        b = jnp.dot(query, (means * inv).T, preferred_element_type=dtype)
+        # precision="highest": the TPU MXU computes f32 matmuls via bf16
+        # passes at default precision, and the expansion q^2 - 2qm + m^2
+        # amplifies that 2^-8 product rounding into O(1) absolute error in
+        # the quadratic form (measured: max |err| ~ 3.0 at bw^2=0.05 vs
+        # 1.3e-4 with full passes).  d <= O(10) keeps these matmuls
+        # memory-bound, so the extra MXU passes are free.
+        a = jnp.dot(query * query, inv.T, preferred_element_type=dtype,
+                    precision="highest")
+        b = jnp.dot(query, (means * inv).T, preferred_element_type=dtype,
+                    precision="highest")
         c = jnp.sum(means * means * inv, axis=1)    # [N]
         return a - 2.0 * b + (c + logdet)[None, :]
     # manifold path: per-dim broadcast differences (d small & static)
@@ -121,6 +129,12 @@ def log_eval_loo(points: jnp.ndarray,
     if diffop is None:
         from .. import config
         if n * n > config.DIRECT_PAIR_LIMIT:
+            if (jax.default_backend() == "tpu"
+                    and points.dtype == jnp.float32):
+                from .pallas_eval import pallas_log_eval
+                return (pallas_log_eval(points, points, var, weights,
+                                        loo=True)
+                        - jnp.log1p(-weights))
             # bound the live [chunk, N] logit working set (same auto-chunk
             # rule as forward evaluation, density.KDE.log_eval)
             return log_eval_loo_chunked(
