@@ -1,40 +1,25 @@
-"""Kernel families.
+"""Kernel-type marker (reference ``GaussianKer``/``getType``,
+src/BallTreeDensity01.jl:3-5,49).
 
-The reference is Gaussian-only in practice (``GaussianKer`` is the single
-kernel type, src/BallTreeDensity01.jl:3-5; the node-statistics merge is
-explicitly "Gaussian only", src/BallTreeDensity01.jl:178-180, and kde!
-squares bandwidths "Gaussian only at this point", src/KDE01.jl:45).  The
-family descriptor is kept as an extension point: a family supplies the
-log-kernel profile, its normalizer, and the sampler jitter, which is all the
-evaluation (ops/kernels.py), sampling (ops/sampling.py), and moment-matching
-(ops/balltree.py) layers consume.
+The reference -- and this framework -- is Gaussian-only by construction:
+the node-statistics merge is moment matching ("Gaussian only",
+src/BallTreeDensity01.jl:178-180), kde! squares bandwidths ("Gaussian only
+at this point", src/KDE01.jl:45), and the Gibbs product engine's
+information-form kernel products (src/MSGibbs01.jl:176-216) are only closed
+under Gaussians.  A pluggable kernel-family abstraction was prototyped in
+round 1 and removed: nothing non-Gaussian can flow through the product
+engine, so the extension point was false generality.  What remains is the
+reference's type marker for API compatibility (``KDE.kernel_type``).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Callable
-
-import jax
-import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
 class KernelFamily:
     name: str
-    # log of the unnormalized kernel profile given squared Mahalanobis dist
-    log_profile: Callable[[jnp.ndarray], jnp.ndarray]
-    # log normalizer per dimension given the variance
-    log_norm_1d: Callable[[jnp.ndarray], jnp.ndarray]
-    # sampler jitter: standard draw to be scaled by the bandwidth std
-    sample_std: Callable[..., jnp.ndarray]
 
 
-GaussianKernel = KernelFamily(
-    name="Gaussian",
-    log_profile=lambda q2: -0.5 * q2,
-    log_norm_1d=lambda var: 0.5 * (jnp.log(var) + math.log(2.0 * math.pi)),
-    sample_std=lambda key, shape, dtype=jnp.float32: jax.random.normal(
-        key, shape, dtype=dtype),
-)
+GaussianKernel = KernelFamily(name="Gaussian")
