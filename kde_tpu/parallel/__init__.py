@@ -10,11 +10,12 @@ from .mesh import CHAINS, KERNELS, make_mesh, make_mesh_2d
 from .product import (initialize_multihost, prod_appx_ms_gibbs_sharded,
                       product_sharded)
 from .gibbs_kernel_sharded import prod_appx_ms_gibbs_kernel_sharded
-from .eval import sharded_log_eval, sharded_loo_entropy
+from .eval import (ksize_bandwidths_sharded, sharded_log_eval,
+                   sharded_loo_entropy)
 
 __all__ = [
     "CHAINS", "KERNELS", "make_mesh", "make_mesh_2d",
     "initialize_multihost", "prod_appx_ms_gibbs_sharded", "product_sharded",
     "prod_appx_ms_gibbs_kernel_sharded",
-    "sharded_log_eval", "sharded_loo_entropy",
+    "ksize_bandwidths_sharded", "sharded_log_eval", "sharded_loo_entropy",
 ]

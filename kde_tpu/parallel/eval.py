@@ -30,8 +30,13 @@ from .mesh import CHAINS, KERNELS
 
 def _local_quad(q, means, var):
     inv = 1.0 / var
-    a = jnp.dot(q * q, inv.T, preferred_element_type=q.dtype)
-    b = jnp.dot(q, (means * inv).T, preferred_element_type=q.dtype)
+    # precision="highest": default MXU precision computes f32 matmuls via
+    # bf16 passes, and this expansion amplifies the product rounding into
+    # O(1) absolute quad error (see ops/kernels.py::pairwise_quad)
+    a = jnp.dot(q * q, inv.T, preferred_element_type=q.dtype,
+                precision="highest")
+    b = jnp.dot(q, (means * inv).T, preferred_element_type=q.dtype,
+                precision="highest")
     c = jnp.sum(means * means * inv, axis=1) + jnp.sum(jnp.log(var), axis=1)
     return a - 2.0 * b + c[None, :]
 
@@ -95,3 +100,102 @@ def sharded_loo_entropy(mesh: Mesh,
                   P(KERNELS, None), P(KERNELS)),
         out_specs=P())
     return f(points, weights, points, var, weights)[0]
+
+
+def ksize_bandwidths_sharded(mesh: Mesh,
+                             points,
+                             weights=None,
+                             tol: float = 1e-2,
+                             dtype=None):
+    """Multi-chip LOOCV bandwidth selection: the golden search's per-probe
+    [N, N]-per-dimension LOO entropies are sharded over the full
+    ``chains x kernels`` mesh, with the same pmax/psum two-pass log-sum-exp
+    as :func:`sharded_loo_entropy` -- the whole search (brackets, probes,
+    bracket updates) runs as ONE shard_mapped program with replicated scalar
+    state, so an N too large for one chip's [chunk, N] working set fits by
+    splitting the component axis.
+
+    Selection is identical to :func:`kde_tpu.ops.loocv.ksize_bandwidths`
+    (same bracket math and golden trajectory; only the reduction order of
+    the entropy sums differs).  ``N`` is padded up to the mesh shape with
+    zero-weight components / zero-weight query rows (which contribute
+    nothing to either side of the reduction).
+
+    Returns ``[d]`` std-dev bandwidths (device array, replicated).
+    """
+    from ..ops.loocv import _golden_core, _internal_slices
+
+    points = jnp.asarray(points, dtype=dtype)
+    n, d = points.shape
+    if weights is None:
+        w = jnp.full((n,), 1.0 / n, dtype=points.dtype)
+    else:
+        w = jnp.asarray(weights, dtype=points.dtype)
+        w = w / jnp.sum(w)
+
+    # brackets from the (unpadded) sorted slices, replicated
+    lo, hi = _internal_slices(n)
+    s = jnp.sort(points, axis=0)
+    if n < 2 or lo.shape[0] == 0:
+        minm = maxm = jnp.full((d,), 1e-6, dtype=points.dtype)
+    else:
+        diag = s[jnp.asarray(hi)] - s[jnp.asarray(lo)]
+        maxm = diag[0]
+        minm = jnp.maximum(jnp.min(diag, axis=0), 1e-6)
+    base = (minm + maxm) / 2.0
+    ax = 2.0 * minm / (minm + maxm)
+    bx = jnp.ones_like(base)
+    cx = 2.0 * maxm / (minm + maxm)
+
+    nc = mesh.shape[CHAINS] if CHAINS in mesh.axis_names else 1
+    nk = mesh.shape[KERNELS]
+    pad = (-n) % (nc * nk)
+    pts_p = jnp.pad(points, ((0, pad), (0, 0)))
+    w_p = jnp.pad(w, (0, pad))                       # zero-weight padding
+
+    tol = float(tol)
+
+    def kernel(q, qw, m, mw, base, ax, bx, cx):
+        mq, nk_loc = q.shape[0], m.shape[0]
+        ci = jax.lax.axis_index(CHAINS) if nc > 1 else 0
+        ki = jax.lax.axis_index(KERNELS)
+        rows = ci * mq + jnp.arange(mq)
+        cols = ki * nk_loc + jnp.arange(nk_loc)
+        diag_mask = rows[:, None] == cols[None, :]
+        logw = jnp.log(jnp.maximum(mw, jnp.finfo(mw.dtype).tiny))
+        logw = jnp.where(mw > 0, logw, -jnp.inf)
+
+        def nloo(x):
+            scale = (jnp.asarray(x) ** 2).astype(q.dtype)
+            outs = []
+            for k in range(d):
+                c = scale[k] * base[k] ** 2
+                delta = q[:, k][:, None] - m[None, :, k]
+                logits = logw[None, :] - 0.5 * (delta * delta / c
+                                                + jnp.log(c))
+                logits = jnp.where(diag_mask, -jnp.inf, logits)
+                lmax = jnp.maximum(
+                    jax.lax.pmax(jnp.max(logits, axis=1), KERNELS), -1e30)
+                ssum = jax.lax.psum(
+                    jnp.sum(jnp.exp(logits - lmax[:, None]), axis=1),
+                    KERNELS)
+                logp = (jnp.log(ssum) + lmax - 0.5 * LOG_2PI
+                        - jnp.log1p(-qw))
+                h = -jnp.sum(qw * logp)
+                if nc > 1:
+                    h = jax.lax.psum(h, CHAINS)
+                outs.append(h)
+            return jnp.stack(outs)
+
+        xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
+        return xmin * base
+
+    chain_spec = P(CHAINS, None) if nc > 1 else P(None, None)
+    chain_vec = P(CHAINS) if nc > 1 else P(None)
+    f = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(chain_spec, chain_vec, P(KERNELS, None), P(KERNELS),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False)
+    return jax.jit(f)(pts_p, w_p, pts_p, w_p, base, ax, bx, cx)

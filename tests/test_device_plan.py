@@ -190,3 +190,24 @@ def test_batched_sampler_device_sets_matches_individual():
         np.testing.assert_allclose(np.asarray(pts[b]), np.asarray(e_pts),
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_array_equal(np.asarray(lab[b]), np.asarray(e_lab))
+
+
+def test_device_plan_matches_host_plan_1d_multibandwidth():
+    """1-D multibandwidth (per-kernel variances): the device build moment-
+    matches per-kernel bandwidths up the tree identically to the host."""
+    rng = np.random.default_rng(9)
+    bw1 = rng.uniform(0.2, 0.8, size=(1, 24))
+    bw2 = rng.uniform(0.1, 0.5, size=(1, 17))
+    dens = [kde(rng.normal(size=(1, 24)), bw1),
+            kde(rng.normal(size=(1, 17)), bw2)]
+    assert dens[0].multibandwidth
+    hp = _ProductPlan(dens, 16, jnp.float64)
+    dp = DeviceProductPlan(dens, 16, jnp.float64)
+    for a, b in zip(hp.lvl_arrays[1:], dp.lvl_arrays[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+    out_h = prod_appx_ms_gibbs(16, dens, n_iter=2, key=jax.random.PRNGKey(2),
+                               plan="host")
+    out_d = prod_appx_ms_gibbs(16, dens, n_iter=2, key=jax.random.PRNGKey(2),
+                               plan="device")
+    np.testing.assert_array_equal(np.asarray(out_h[1]), np.asarray(out_d[1]))

@@ -89,3 +89,27 @@ def test_sharded_loo_entropy_matches_dense(devices_ok):
     got = float(sharded_loo_entropy(mesh, pts, var, w))
     want = float(kernels.entropy_kernel(pts, var, w))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_ksize_bandwidths_sharded_matches_dense():
+    """The fully sharded LOOCV golden search (chains x kernels mesh) selects
+    the same bandwidths as the single-device fit, including with padding
+    (N not a multiple of the mesh shape) and non-uniform weights."""
+    import jax
+    from jax.sharding import Mesh
+    from kde_tpu.ops.loocv import ksize_bandwidths
+    from kde_tpu.parallel import KERNELS, ksize_bandwidths_sharded, make_mesh_2d
+
+    rng = np.random.default_rng(21)
+    n, d = 205, 2                                  # 205 % 8 != 0 -> padding
+    pts = rng.normal(size=(n, d)) * [1.0, 2.5]
+    w = rng.uniform(0.5, 1.5, size=n)
+    w = w / w.sum()
+    dense = ksize_bandwidths(pts, w)
+    mesh2 = make_mesh_2d((2, 4))
+    got = np.asarray(ksize_bandwidths_sharded(mesh2, pts, w))
+    np.testing.assert_allclose(got, dense, rtol=1e-8)
+    # kernels-only mesh
+    mesh1 = Mesh(np.array(jax.devices()[:8]), (KERNELS,))
+    got1 = np.asarray(ksize_bandwidths_sharded(mesh1, pts, w))
+    np.testing.assert_allclose(got1, dense, rtol=1e-8)
