@@ -175,9 +175,8 @@ class KDE:
             # bound the [chunk, N] logit working set in HBM (config.DIRECT_PAIR_LIMIT)
             from . import config
             if q.shape[0] * self.npts > config.DIRECT_PAIR_LIMIT:
-                if (jax.default_backend() == "tpu"
-                        and self.points.dtype == jnp.float32
-                        and self._eval_diffop is None):
+                if kernels.use_pallas_eval(self.points.dtype,
+                                           self._eval_diffop):
                     # flash-style Pallas kernel: logits never touch HBM --
                     # ~1.8x the chunked dense path at 40k x 40k (BASELINE.md)
                     from .ops.pallas_eval import pallas_log_eval

@@ -26,16 +26,23 @@ is computable on device as log2(N) rounds of segmented sort:
 and the stats are a bottom-up sweep of static gathers/scatters.  Everything
 is one jitted program per (N-tuple, d, dtype).
 
-Parity contract: in 1-D the hierarchy equals the host tree's exactly (both
-reduce to sorted slices; tests/test_device_plan.py).  In d > 1 it is a
-*statistically equivalent* median-split hierarchy, not bit-identical to the
-host builder: the host's most-spread-coordinate scan inherits the
-reference's exclude-last-leaf quirk whose outcome depends on quickselect's
-internal element order, which a sort-based builder deliberately does not
-reproduce (SURVEY §7 "what NOT to copy").  Replay-mode products
-(``rand_u=`` injection) therefore always use the host plan; keyed sampling
-uses whichever hierarchy it was built with -- both are valid annealing
-schedules for the sampler.
+Parity contract: in 1-D with distinct point values the hierarchy equals the
+host tree's exactly (both reduce to sorted slices; tests/test_device_plan.py).
+Two deliberate divergences:
+  * **duplicate values** may bind to leaf slots in a different order than
+    the host quickselect's internal tie order (stable sort vs Lomuto).
+    This is distributionally invisible -- tied points have identical
+    coordinates and each leaf carries its bound point's weight, so
+    P(label = i) = w_i and the sampled mixture are unchanged; only which
+    *equivalent* label id is reported can differ;
+  * **d > 1** is a statistically equivalent median-split hierarchy, not
+    bit-identical: the host's most-spread-coordinate scan inherits the
+    reference's exclude-last-leaf quirk whose outcome depends on
+    quickselect's internal element order, which a sort-based builder
+    deliberately does not reproduce (SURVEY §7 "what NOT to copy").
+Replay-mode products (``rand_u=`` injection) therefore always use the host
+plan; keyed sampling uses whichever hierarchy it was built with -- both are
+valid annealing schedules for the sampler.
 """
 
 from __future__ import annotations
@@ -117,23 +124,16 @@ def _topology(n: int):
                        (t.left[g] == np.where(t.right[g] == NO_CHILD,
                                               t.left[g], t.right[g]))))
     return dict(n=n, max_depth=max_depth, per_depth=per_depth, merges=merges,
-                left=t.left.copy(), right=t.right.copy())
+                tree=t)
 
 
 @functools.lru_cache(maxsize=128)
 def _level_nodes(n: int, n_levels: int) -> List[np.ndarray]:
     """Static per-level slot lists (levelDown! semantics incl. leaf
-    self-replication), from the universal topology."""
-    topo = _topology(n)
-    left, right = topo["left"], topo["right"]
-    two_n = 2 * n
-    out = [np.array([0], dtype=np.int64)]
-    cur = out[0]
-    for _ in range(n_levels):
-        pairs = np.stack([left[cur], right[cur]], axis=1).ravel()
-        cur = pairs[(pairs >= 0) & (pairs < two_n)]
-        out.append(cur)
-    return out
+    self-replication): delegated to the universal topology tree's own
+    ``level_lists`` so there is exactly one implementation of the
+    expansion rule (ops/balltree.py:97-113)."""
+    return _topology(n)["tree"].level_lists(n_levels)
 
 
 @functools.lru_cache(maxsize=64)

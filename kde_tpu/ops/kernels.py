@@ -36,6 +36,16 @@ import jax.numpy as jnp
 LOG_2PI = math.log(2.0 * math.pi)
 
 
+def use_pallas_eval(dtype, diffop) -> bool:
+    """Single authority for routing an above-DIRECT_PAIR_LIMIT evaluation
+    through the flash-style Pallas kernel (ops/pallas_eval.py): TPU backend,
+    f32 data (the kernel computes in f32), Euclidean metric only.  Consumed
+    by forward evaluation (density.KDE.log_eval) and the LOO self-evaluation
+    (log_eval_loo)."""
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and diffop is None)
+
+
 def pairwise_quad(query: jnp.ndarray,
                   means: jnp.ndarray,
                   var: jnp.ndarray,
@@ -129,8 +139,7 @@ def log_eval_loo(points: jnp.ndarray,
     if diffop is None:
         from .. import config
         if n * n > config.DIRECT_PAIR_LIMIT:
-            if (jax.default_backend() == "tpu"
-                    and points.dtype == jnp.float32):
+            if use_pallas_eval(points.dtype, None):
                 from .pallas_eval import pallas_log_eval
                 return (pallas_log_eval(points, points, var, weights,
                                         loo=True)

@@ -205,13 +205,13 @@ def select_loo_impl(n: int) -> str:
     return "dense"
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
-def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024):
-    """LOOCV bandwidths for ``R`` independent 1-D problems ``rows [R, N]``
-    sharing weights ``w [N]``: sort-based neighborMinMax bracket
-    (sorted-slice extents; reference src/CrossValidation.jl:100-120) + the
-    vectorized golden search, all in one program.  The shared core behind
-    :func:`ksize_bandwidths_device` and the batched product refit."""
+def bracket_rows(rows, lo, hi):
+    """Sort-based neighborMinMax bracket for ``R`` independent 1-D problems
+    ``rows [R, N]`` (sorted-slice extents; reference
+    src/CrossValidation.jl:100-120, incl. the n<2 degenerate guard and the
+    1e-6 floor).  Returns ``(base, ax, bx, cx)``, each ``[R]`` -- the ONE
+    place the bracket math lives (consumed by :func:`ksize_rows` and the
+    sharded search, kde_tpu/parallel/eval.py)."""
     r, n = rows.shape
     if n < 2 or lo.shape[0] == 0:
         minm = maxm = jnp.full((r,), 1e-6, dtype=rows.dtype)
@@ -224,6 +224,16 @@ def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024):
     ax = 2.0 * minm / (minm + maxm)
     bx = jnp.ones_like(base)
     cx = 2.0 * maxm / (minm + maxm)
+    return base, ax, bx, cx
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
+def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024):
+    """LOOCV bandwidths for ``R`` independent 1-D problems ``rows [R, N]``
+    sharing weights ``w [N]``: sort-based neighborMinMax bracket + the
+    vectorized golden search, all in one program.  The shared core behind
+    :func:`ksize_bandwidths_device` and the batched product refit."""
+    base, ax, bx, cx = bracket_rows(rows, lo, hi)
 
     def nloo(x):
         scale = (jnp.asarray(x) ** 2).astype(rows.dtype)
@@ -291,7 +301,7 @@ def ksize(p, dtype=jnp.float64):
     on device (sort-based bracket; no readback)."""
     from ..density import kde
     if p._host_points is None:                       # device-resident
-        bwds = ksize_bandwidths_device(p.points, p.weights, dtype=p.points.dtype)
+        bwds = ksize_bandwidths_device(p.points, p.weights, dtype=dtype)
         return kde(p.get_points(), bwds, p.weights)
     # host-backed: use the retained host copies -- np.asarray(get_points())
     # would be a device readback (the documented dispatch cliff, BASELINE.md)

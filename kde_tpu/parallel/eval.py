@@ -123,7 +123,7 @@ def ksize_bandwidths_sharded(mesh: Mesh,
 
     Returns ``[d]`` std-dev bandwidths (device array, replicated).
     """
-    from ..ops.loocv import _golden_core, _internal_slices
+    from ..ops.loocv import _golden_core, _internal_slices, bracket_rows
 
     points = jnp.asarray(points, dtype=dtype)
     n, d = points.shape
@@ -133,19 +133,11 @@ def ksize_bandwidths_sharded(mesh: Mesh,
         w = jnp.asarray(weights, dtype=points.dtype)
         w = w / jnp.sum(w)
 
-    # brackets from the (unpadded) sorted slices, replicated
+    # brackets from the (unpadded) sorted slices, replicated -- shared
+    # bracket math (incl. degenerate guard), ops/loocv.py::bracket_rows
     lo, hi = _internal_slices(n)
-    s = jnp.sort(points, axis=0)
-    if n < 2 or lo.shape[0] == 0:
-        minm = maxm = jnp.full((d,), 1e-6, dtype=points.dtype)
-    else:
-        diag = s[jnp.asarray(hi)] - s[jnp.asarray(lo)]
-        maxm = diag[0]
-        minm = jnp.maximum(jnp.min(diag, axis=0), 1e-6)
-    base = (minm + maxm) / 2.0
-    ax = 2.0 * minm / (minm + maxm)
-    bx = jnp.ones_like(base)
-    cx = 2.0 * maxm / (minm + maxm)
+    base, ax, bx, cx = bracket_rows(points.T, jnp.asarray(lo),
+                                    jnp.asarray(hi))
 
     nc = mesh.shape[CHAINS] if CHAINS in mesh.axis_names else 1
     nk = mesh.shape[KERNELS]
