@@ -21,6 +21,7 @@ import numpy as np, jax, jax.numpy as jnp
 from kde_tpu import kde, prod_appx_ms_gibbs
 
 def test_prods(key, D=3, M=6, N=100, n=100, dev=1.0, mcmc=5, plan="host"):
+    # full reference grid (test/runtests.jl:189-201) on the f32 TPU engine
     keys = jax.random.split(key, M + 1)
     rng = np.random.default_rng(int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
     dens = [kde(dev * rng.normal(size=(D, N)), dtype=jnp.float32) for _ in range(M)]
@@ -34,7 +35,10 @@ def test_prods(key, D=3, M=6, N=100, n=100, dev=1.0, mcmc=5, plan="host"):
 print("backend:", jax.default_backend(), flush=True)
 ok = True
 rows = []
-for cfg in [dict(D=2, M=2), dict(D=2, M=4), dict(D=3, M=6, mcmc=10)]:
+for cfg in [dict(D=2, M=2), dict(D=2, M=4), dict(D=2, M=6),
+            dict(D=3, M=6, mcmc=10), dict(D=4, M=6, n=200, mcmc=10),
+            dict(D=3, M=5, N=300), dict(D=2, M=7, n=300),
+            dict(D=3, M=2, mcmc=100)]:
     for plan in ("host", "device"):
         keys = jax.random.split(jax.random.PRNGKey(17), 10)
         wins = int(sum(test_prods(k, plan=plan, **cfg) for k in keys))
