@@ -38,6 +38,23 @@ from .ops.gibbs import (BatchedProductSampler, ProductSampler,
 # directly.
 BallTreeDensity = KDE
 MixtureDensity = KDE
+BallTree = FlatBallTree
+
+
+def marginal(p: KDE, dims):
+    """Free-function form of the reference's ``marginal(p, dims)``
+    (src/KDE01.jl:143-153)."""
+    return p.marginal(dims)
+
+
+def npts(p) -> int:
+    """Number of kernels (reference ``Npts``, src/BallTree01.jl:66)."""
+    return p.npts
+
+
+def ndim(p) -> int:
+    """Dimensionality (reference ``Ndim``, src/BallTree01.jl:65)."""
+    return p.ndim
 try:                                    # typing alias (annotation use only)
     from typing import Sequence as _Seq, Union as _Union
     VectorRange = _Union[_Seq[int], _Seq[float], range]
@@ -55,6 +72,7 @@ __all__ = [
     "product", "product_batched",
     "evaluate_dual_tree", "ksize", "nloo_ll",
     "FlatBallTree", "build_balltree",
-    "BallTreeDensity", "MixtureDensity", "VectorRange",
+    "BallTreeDensity", "MixtureDensity", "BallTree", "VectorRange",
+    "marginal", "npts", "ndim",
     "set_seed", "set_force_eval_direct", "manifolds",
 ]

@@ -93,3 +93,16 @@ def test_type_aliases_and_bw_bounds():
     root_min, root_max = q.bw_min(0), q.bw_max(0)
     np.testing.assert_allclose(root_min, [0.01])
     np.testing.assert_allclose(root_max, [0.16])
+
+
+def test_free_function_exports():
+    """Remaining names from the reference export list
+    (src/KernelDensityEstimate.jl:13-51): free-function marginal/Npts/Ndim
+    and the BallTree type name."""
+    import kde_tpu as kt
+    p = kde(np.zeros((2, 4)), [1.0, 2.0])
+    assert kt.npts(p) == 4 and kt.ndim(p) == 2
+    m = kt.marginal(p, [1])
+    assert m.ndim == 1 and float(m.get_bw()[0, 0]) == 2.0
+    assert kt.BallTree is kt.FlatBallTree
+    assert isinstance(p.tree, kt.BallTree)
