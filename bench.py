@@ -156,10 +156,16 @@ def main():
     pts_b = rng.normal(size=(2, N_COMP)) + 0.5
     dens = [kde(pts_a, [0.1], dtype=dtype), kde(pts_b, [0.1], dtype=dtype)]
     trees = [p.tree for p in dens]
+    # The serving form: PRODUCTS_PER_CALL independent draws of the same
+    # product per dispatch via the batched-sets engine (the vmapped-sets
+    # program measures ~30% faster than one (PRODUCTS*N_OUT)-chain call of
+    # the same total work; chains are iid given the stream either way).
+    from kde_tpu import BatchedProductSampler
+    sampler = BatchedProductSampler([dens] * PRODUCTS_PER_CALL, n_out=N_OUT,
+                                    n_iter=N_ITER)
     n_call = N_OUT * PRODUCTS_PER_CALL
     tpu_rate = tpu_pipelined(
-        lambda s: prod_appx_ms_gibbs(n_call, dens, n_iter=N_ITER,
-                                     key=jax.random.PRNGKey(s))[0],
+        lambda s: sampler.sample(jax.random.PRNGKey(s))[0],
         reps=20, rounds=8, per_call=n_call)
     # sanity on one product block
     chk = np.asarray(prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
