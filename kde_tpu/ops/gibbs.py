@@ -326,14 +326,31 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
     fetched, so the keyed (non-replay) path folds everything into one
     program (measured: ~25% per-product latency reduction)."""
     ku, kn = jax.random.split(key)
-    u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
-    n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
     def chain(u_row, n_row):
         return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                           mask, n_iter, ndens, ndim, n_levels,
                           addop, diffop, get_mu, get_lambda, add_entropy)
-    pts, idx, labels = jax.vmap(chain)(u, n_)
+
+    # Grouped chain layout for large draws: XLA tiles a doubly-vmapped
+    # [G, C, n_l] level stage markedly better than a flat [G*C, n_l] one
+    # (measured 2x at 4x1024 vs 4096 flat, BASELINE.md "negative results"
+    # note) -- chains are iid given the stream, so grouping only changes
+    # which key-derived stream each output consumes, not the distribution.
+    group = 1024
+    if n_out >= 2 * group:
+        g = -(-n_out // group)                      # ceil; pad then trim
+        n_pad = g * group
+        u = jax.random.uniform(ku, (g, group, bu), dtype=dtype)
+        n_ = jax.random.normal(kn, (g, group, bn), dtype=dtype)
+        pts, idx, labels = jax.vmap(jax.vmap(chain))(u, n_)
+        pts = pts.reshape(n_pad, -1)[:n_out]
+        idx = idx.reshape(n_pad, -1)[:n_out]
+        labels = labels.reshape(n_pad, *labels.shape[2:])[:n_out]
+    else:
+        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
+        n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
+        pts, idx, labels = jax.vmap(chain)(u, n_)
     return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
 
 
