@@ -180,20 +180,26 @@ def main():
     grid = np.linspace(x1d.min(), x1d.max(), 200)
 
     def flow1(s):
-        p = kde(jnp.asarray(x1d[None, :], dtype=dtype))      # device LOOCV
+        # NumPy input routes the whole flow through the size-gated HOST fast
+        # path (ops/host_small.py): f64 golden-search fit, host evaluate,
+        # host CDF-draw resample + host refit.  Small-N flows are pure
+        # dispatch latency on the axon runtime (~30x slower than serial CPU
+        # in round 2); the framework's answer is to never touch the device.
+        p = kde(x1d[None, :])
         v = p(grid)
-        r = resample(p, 75, "lcv", key=jax.random.PRNGKey(s))
-        return jnp.sum(v) + jnp.sum(r.points) + jnp.sum(r.bw)
-    # flows are independent -> take the better of sequential latency and
-    # pipelined serving throughput (the whole flow is device-resident: no
-    # readback between fit, eval and the resample refit)
-    rate1 = tpu_pipelined(flow1, reps=10, rounds=4)
+        r = resample(p, 75, "lcv", key=int(s))
+        # everything already materialized host-side; the sums ARE the fence
+        return (float(np.sum(v)) + float(np.sum(r.host_points()))
+                + float(np.sum(r.host_bw_std())))
+    flow1(0)                                          # warmup
+    assert isinstance(kde(x1d[None, :])(grid), np.ndarray)  # host path active
     t_best = 1e9
-    for r in range(4):
+    for r in range(6):
         t0 = time.perf_counter()
-        fence(flow1(100 + r))
-        t_best = min(t_best, time.perf_counter() - t0)
-    rate1 = max(rate1, 1.0 / t_best)
+        for i in range(20):
+            flow1(20 * r + i)
+        t_best = min(t_best, (time.perf_counter() - t0) / 20)
+    rate1 = 1.0 / t_best
     cpu_t = cpu_best(lambda r: _serial_flow_1d(x1d))
     results.append({
         "metric": "1D LOOCV fit+eval+resample (N=100, README cfg 1)",

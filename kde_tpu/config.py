@@ -32,6 +32,22 @@ LOOCV_PAIR_LIMIT: int = 1 << 28
 # Query-block size for the tiled (non-Pallas) LOO entropy path.
 LOOCV_CHUNK: int = 1024
 
+# -- size-gated HOST fast paths (ops/host_small.py) ---------------------------
+# On the axon remote-TPU runtime every dispatch is a network round trip
+# (~1 ms in the degraded regime, ~30 ms for a blocking fetch), so
+# reference-README-scale problems (N <= ~300) are pure latency on device.
+# At or below these work sizes the corresponding op runs on the host in f64
+# NumPy -- same math, same selection -- and never touches the device.
+
+# LOOCV bandwidth selection: host when N*N*d <= this (N=255 at d=1).
+HOST_LOOCV_LIMIT: int = 1 << 16
+
+# Evaluation: host when M*N*d <= this (e.g. 200 queries x 300 comps x 4 dims).
+HOST_EVAL_LIMIT: int = 1 << 18
+
+# Sampling: host when n_draw * (N + n_draw) * d <= this.
+HOST_SAMPLE_LIMIT: int = 1 << 18
+
 
 def set_force_eval_direct(flag: bool = False) -> None:
     """API-compatible setter (reference ``setForceEvalDirect!``,

@@ -7,8 +7,10 @@ mirroring reference src/DualTree01.jl:450-618.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,20 +68,52 @@ def minkld(p: KDE, q: KDE) -> jnp.ndarray:
 
 
 # ---- summary statistics (reference src/DualTree01.jl:512-578) ---------------
+#
+# Each summary has a DEVICE branch for device-resident densities (a Gibbs
+# product output has _host_points = None): the statistic is computed from
+# p.points with jnp ops and returned as a device array, so summarizing a
+# product never triggers the device->host readback cliff (VERDICT r2 weak
+# #4; BASELINE.md "device->host transfer cliff").  Host-backed densities
+# keep the NumPy path (no device dispatch for small host flows).
 
-def get_kde_range(p, extend: float = 0.1) -> np.ndarray:
+
+@functools.partial(jax.jit, static_argnames=("extend", "addop", "diffop"))
+def _range_core(pts, *, extend, addop, diffop):
+    """[d, 2] extent of ``pts [N, d]`` widened by ``extend`` via the
+    per-dim manifold ops (one fused program)."""
+    lo = jnp.min(pts, axis=0)
+    hi = jnp.max(pts, axis=0)
+    cols = []
+    for i, (ao, do) in enumerate(zip(addop, diffop)):
+        dr = extend * do(hi[i], lo[i])
+        cols.append(jnp.stack([do(lo[i], dr), ao(hi[i], dr)]))
+    return jnp.stack(cols)
+
+
+def get_kde_range(p, extend: float = 0.1):
     """Point extent per dim, widened by ``extend`` -> ``[d, 2]``.  Accepts a
-    single KDE or a list (elementwise union, src/DualTree01.jl:540-550)."""
+    single KDE or a list (elementwise union, src/DualTree01.jl:540-550).
+    Device-resident densities return a device array (no readback)."""
     if isinstance(p, (list, tuple)):
-        rv = get_kde_range(p[0], extend)
-        for q in p[1:]:
-            r2 = get_kde_range(q, extend)
+        ranges = [get_kde_range(q, extend) for q in p]
+        if any(isinstance(r, jnp.ndarray) for r in ranges):
+            rv = jnp.asarray(ranges[0])
+            for r2 in ranges[1:]:
+                rv = jnp.stack([jnp.minimum(rv[:, 0], jnp.asarray(r2)[:, 0]),
+                                jnp.maximum(rv[:, 1], jnp.asarray(r2)[:, 1])],
+                               axis=1)
+            return rv
+        rv = ranges[0]
+        for r2 in ranges[1:]:
             rv[:, 0] = np.minimum(rv[:, 0], r2[:, 0])
             rv[:, 1] = np.maximum(rv[:, 1], r2[:, 1])
         return rv
-    pts = p.host_points()            # [d, N]
     addop = p.addop or (manifolds.euclid_add,) * p.ndim
     diffop = p.diffop or (manifolds.euclid_diff,) * p.ndim
+    if p._host_points is None:                       # device-resident
+        return _range_core(p.points, extend=float(extend),
+                           addop=tuple(addop), diffop=tuple(diffop))
+    pts = p.host_points()            # [d, N]
     rv = np.empty((p.ndim, 2))
     for i in range(p.ndim):
         lo, hi = pts[i].min(), pts[i].max()
@@ -89,14 +123,43 @@ def get_kde_range(p, extend: float = 0.1) -> np.ndarray:
     return rv
 
 
-def get_kde_range_linspace(p: KDE, extend: float = 0.1, n: int = 200) -> np.ndarray:
+def get_kde_range_linspace(p: KDE, extend: float = 0.1, n: int = 200):
     v = get_kde_range(p, extend)
+    if isinstance(v, jnp.ndarray):
+        return jnp.linspace(v[0, 0], v[0, 1], n)
     return np.linspace(v[0, 0], v[0, 1], n)
 
 
-def get_kde_max(p: KDE, n: int = 200) -> np.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("n", "extend", "addop", "diffop"))
+def _max_core(pts, var, w, *, n, extend, addop, diffop):
+    """Per-dim marginal-grid argmax as ONE device program: for each dim,
+    an ``n``-point linspace over the (widened) extent, a 1-D marginal
+    evaluation, and the grid argmax."""
+    outs = []
+    d = pts.shape[1]
+    euclid = manifolds.is_euclidean(diffop, manifolds.euclid_diff)
+    for i in range(d):
+        x = pts[:, i]
+        lo, hi = jnp.min(x), jnp.max(x)
+        dr = extend * diffop[i](hi, lo)
+        g = jnp.linspace(diffop[i](lo, dr), addop[i](hi, dr), n)
+        logp = kernels.log_eval(g[:, None], pts[:, i:i + 1],
+                                var[:, i:i + 1], w,
+                                None if euclid else (diffop[i],))
+        outs.append(g[jnp.argmax(logp)])
+    return jnp.stack(outs)
+
+
+def get_kde_max(p: KDE, n: int = 200):
     """Per-dimension argmax of the marginal density over an ``n``-point grid
-    (reference src/DualTree01.jl:558-569)."""
+    (reference src/DualTree01.jl:558-569).  Device-resident densities
+    compute all dims in one device program (no per-dim host round trips)."""
+    if p._host_points is None:                       # device-resident
+        addop = p.addop or (manifolds.euclid_add,) * p.ndim
+        diffop = p.diffop or (manifolds.euclid_diff,) * p.ndim
+        return _max_core(p.points, p.bw, p.weights, n=int(n), extend=0.1,
+                         addop=tuple(addop), diffop=tuple(diffop))
     out = np.empty(p.ndim)
     for i in range(p.ndim):
         mm = p.marginal([i])
@@ -106,13 +169,24 @@ def get_kde_max(p: KDE, n: int = 200) -> np.ndarray:
     return out
 
 
-def get_kde_mean(p: KDE) -> np.ndarray:
+def get_kde_mean(p: KDE):
+    if p._host_points is None:                       # device-resident
+        return jnp.mean(p.points, axis=0)
     return p.host_points().mean(axis=1)
+
+
+@jax.jit
+def _fit_core(pts):
+    mu = jnp.mean(pts, axis=0)
+    xc = pts - mu[None, :]
+    return mu, xc.T @ xc / pts.shape[0]
 
 
 def get_kde_fit(p: KDE) -> Tuple[np.ndarray, np.ndarray]:
     """MLE Gaussian fit to the points: (mean [d], cov [d, d])
     (reference src/DualTree01.jl:575-578 fits an MvNormal)."""
+    if p._host_points is None:                       # device-resident
+        return _fit_core(p.points)
     pts = p.host_points()
     mu = pts.mean(axis=1)
     xc = pts - mu[:, None]
@@ -120,13 +194,55 @@ def get_kde_fit(p: KDE) -> Tuple[np.ndarray, np.ndarray]:
     return mu, cov
 
 
-def inters_intg_appx_is(p: KDE, q: KDE, n: int = 201) -> float:
+@functools.partial(jax.jit,
+                   static_argnames=("n", "addop", "diffop", "pdiff", "qdiff"))
+def _overlap_core(p_pts, p_var, p_w, q_pts, q_var, q_w, *,
+                  n, addop, diffop, pdiff, qdiff):
+    """Grid-quadrature overlap integral as ONE device program (grids from
+    p's widened extent, extend=0.3, matching the host path's
+    ``get_kde_range_linspace(p.marginal([k]), extend=0.3)``)."""
+    d = p_pts.shape[1]
+    lo = jnp.min(p_pts, axis=0)
+    hi = jnp.max(p_pts, axis=0)
+    grids = []
+    for k in range(d):
+        dr = 0.3 * diffop[k](hi[k], lo[k])
+        grids.append(jnp.linspace(diffop[k](lo[k], dr),
+                                  addop[k](hi[k], dr), n))
+    if d == 1:
+        xx = grids[0][:, None]
+        chunk = None
+    else:
+        gx, gy = jnp.meshgrid(grids[0], grids[1], indexing="xy")
+        xx = jnp.stack([gx.ravel(), gy.ravel()], axis=1)     # [n*n, 2]
+        chunk = 4096
+    yy = (jnp.exp(kernels.log_eval(xx, p_pts, p_var, p_w, pdiff,
+                                   chunk=chunk))
+          * jnp.exp(kernels.log_eval(xx, q_pts, q_var, q_w, qdiff,
+                                     chunk=chunk)))
+    vol = grids[0][1] - grids[0][0]
+    if d == 2:
+        vol = vol * (grids[1][1] - grids[1][0])
+    return jnp.sum(yy) * vol
+
+
+def inters_intg_appx_is(p: KDE, q: KDE, n: int = 201):
     """Approximate overlap integral ``int p(x) q(x) dx`` by grid quadrature,
-    dims <= 2 only (reference src/DualTree01.jl:581-618)."""
+    dims <= 2 only (reference src/DualTree01.jl:581-618).  If either input
+    is device-resident, the whole quadrature runs as one device program and
+    returns a device scalar (no readback; VERDICT r2 weak #4)."""
     d = p.ndim
     if d > 2:
         raise NotImplementedError("intersIntgAppxIS supports dims <= 2 "
                                   "(as in the reference, src/DualTree01.jl:615)")
+    if p._host_points is None or q._host_points is None:
+        addop = p.addop or (manifolds.euclid_add,) * d
+        diffop = p.diffop or (manifolds.euclid_diff,) * d
+        return _overlap_core(
+            p.points, p.bw, p.weights, q.points, q.bw, q.weights,
+            n=int(n), addop=tuple(addop), diffop=tuple(diffop),
+            pdiff=None if p._eval_diffop is None else tuple(p._eval_diffop),
+            qdiff=None if q._eval_diffop is None else tuple(q._eval_diffop))
     grids = []
     dx = []
     for k in range(d):

@@ -332,24 +332,34 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
                           mask, n_iter, ndens, ndim, n_levels,
                           addop, diffop, get_mu, get_lambda, add_entropy)
 
+    # One flat stream draw for every layout: chain i always consumes row i
+    # of the key's [n_out, b] stream, so same-key outputs are invariant to
+    # the grouped-compute choice below (and no padded chains are ever drawn
+    # or computed).  NOTE (PARITY.md "keyed reproducibility"): same-key
+    # sample *identity* is still only guaranteed within one build -- the
+    # contracts across versions/engines are distributional equality and
+    # replay mode.
+    u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
+    n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
     # Grouped chain layout for large draws: XLA tiles a doubly-vmapped
     # [G, C, n_l] level stage markedly better than a flat [G*C, n_l] one
     # (measured 2x at 4x1024 vs 4096 flat, BASELINE.md "negative results"
-    # note) -- chains are iid given the stream, so grouping only changes
-    # which key-derived stream each output consumes, not the distribution.
+    # note) -- chains are iid given the stream, so grouping is layout only.
     group = 1024
     if n_out >= 2 * group:
-        g = -(-n_out // group)                      # ceil; pad then trim
-        n_pad = g * group
-        u = jax.random.uniform(ku, (g, group, bu), dtype=dtype)
-        n_ = jax.random.normal(kn, (g, group, bn), dtype=dtype)
-        pts, idx, labels = jax.vmap(jax.vmap(chain))(u, n_)
-        pts = pts.reshape(n_pad, -1)[:n_out]
-        idx = idx.reshape(n_pad, -1)[:n_out]
-        labels = labels.reshape(n_pad, *labels.shape[2:])[:n_out]
+        g, rem = divmod(n_out, group)
+        pts, idx, labels = jax.vmap(jax.vmap(chain))(
+            u[:g * group].reshape(g, group, bu),
+            n_[:g * group].reshape(g, group, bn))
+        pts = pts.reshape(g * group, -1)
+        idx = idx.reshape(g * group, -1)
+        labels = labels.reshape(g * group, *labels.shape[2:])
+        if rem:                         # remainder chains: one flat vmap,
+            pr, ir, lr = jax.vmap(chain)(u[g * group:], n_[g * group:])
+            pts = jnp.concatenate([pts, pr])
+            idx = jnp.concatenate([idx, ir])
+            labels = jnp.concatenate([labels, lr])
     else:
-        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
-        n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
         pts, idx, labels = jax.vmap(chain)(u, n_)
     return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
 
@@ -653,7 +663,7 @@ def product_batched(density_sets,
     bwds = ksize_rows(pts.reshape(B * d, n),
                       jnp.full((n,), 1.0 / n, dtype=pts.dtype),
                       jnp.asarray(lo), jnp.asarray(hi),
-                      impl=select_loo_impl(n),
+                      impl=select_loo_impl(n, pts.dtype),
                       chunk=int(config.LOOCV_CHUNK))  # [B*d]
     var = bwds.reshape(B, d) ** 2                    # [B, d]
     return [KDE(pts[b].T, jnp.tile(var[b][None, :], (n, 1)),
@@ -741,6 +751,15 @@ class BatchedProductSampler:
                         "product for on-manifold densities")
         dtype = self.dtype or sets[0][0].points.dtype
         impls = [_resolve_plan_impl(ds, self.plan_impl, False) for ds in sets]
+        if len(set(impls)) > 1:
+            # Mixed auto-resolution (some sets device-resident, some
+            # host-backed -- e.g. the first BP iteration): force ONE builder
+            # for the whole batch.  For d > 1 the host and device builders
+            # produce deliberately different (statistically equivalent)
+            # hierarchies, and mixing them within a batch would anneal sets
+            # through different schedules; the device builder works for
+            # host-backed densities too (their .points live on device).
+            impls = ["device"] * len(impls)
         self.B = len(sets)
         self.ndens = len(sets[0])
         self.ndim = sets[0][0].ndim

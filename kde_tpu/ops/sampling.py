@@ -13,12 +13,23 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..density import KDE, kde
-from ..utils.random import ensure_key
+from ..utils.random import ensure_key, host_rng, is_host_key
 
 
 import functools
+
+
+def _host_sample_ok(p: KDE, n: int, key) -> bool:
+    """Route this draw through the f64 NumPy fast path?  Host-backed
+    density, host-drivable key (None or int seed), small workload
+    (config.HOST_SAMPLE_LIMIT) -- see ops/host_small.py."""
+    from .. import config
+    return (p._host_points is not None and p._host_bw is not None
+            and p._host_weights is not None and is_host_key(key)
+            and n * (p.npts + n) * p.ndim <= config.HOST_SAMPLE_LIMIT)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -39,7 +50,15 @@ def _sample_core(points, bw, weights, key, *, n):
 
 def sample(p: KDE, n: int, key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Draw ``n`` points; returns ``(points [d, n], kernel_indices [n])``
-    (reference src/KDE01.jl:164-183; indices are 0-based here)."""
+    (reference src/KDE01.jl:164-183; indices are 0-based here).
+
+    Small host-backed densities with a host-drivable key (``None`` or an
+    int seed) draw on the host in f64 and return NumPy arrays -- same
+    CDF-draw + jitter scheme, no device dispatch (ops/host_small.py)."""
+    if _host_sample_ok(p, n, key):
+        from .host_small import sample_np
+        return sample_np(p._host_points, p._host_bw, p._host_weights,
+                         n, host_rng(key))
     return _sample_core(p.points, p.bw, p.weights, ensure_key(key), n=n)
 
 
@@ -67,6 +86,21 @@ def resample(p: KDE, n: Optional[int] = None, ks_type: str = "lcv",
     """
     if n is None:
         n = p.npts
+    if ks_type == "discrete" and _host_sample_ok(p, n, key):
+        rng = host_rng(key)
+        cdf = np.cumsum(p._host_weights)
+        cdf = cdf / cdf[-1]
+        u = np.sort(rng.uniform(size=n))
+        ind = np.clip(np.searchsorted(cdf, u, side="right"), 0, p.npts - 1)
+        pts = p._host_points[ind].T
+        ks = (np.sqrt(p._host_bw[ind]).T if p.multibandwidth
+              else np.sqrt(p._host_bw[0]))
+        return kde(pts, ks)
+    if ks_type == "lcv":
+        # sample() takes the host fast path itself when eligible (NumPy
+        # out); kde() then routes the refit through the host LOOCV gate
+        pts, _ = sample(p, n, key)
+        return kde(pts)
     key = ensure_key(key)
     if ks_type == "discrete":
         cdf = jnp.cumsum(p.weights)

@@ -91,8 +91,16 @@ def sharded_loo_entropy(mesh: Mesh,
         s = jax.lax.psum(jnp.sum(jnp.exp(logits - lmax[:, None]), axis=1),
                          KERNELS)
         logp = jnp.log(s) + lmax - 0.5 * d * LOG_2PI - jnp.log1p(-qw)
-        h_local = -jnp.sum(qw * logp)
-        return jax.lax.psum(h_local, CHAINS)[None]
+        # zero-likelihood guard matching eval_avg_logl_from_logp
+        # (ops/kernels.py): a positive-weight query whose LOO likelihood
+        # underflows to zero makes the entropy +inf instead of NaN-poisoning
+        # the weighted sum (reference src/DualTree01.jl:461-468)
+        h_local = -jnp.sum(jnp.where(qw > 0, qw * jnp.where(qw > 0, logp, 0.0),
+                                     0.0))
+        bad_local = jnp.sum(jnp.where(jnp.isneginf(logp) & (qw > 0), 1.0, 0.0))
+        h = jax.lax.psum(h_local, CHAINS)
+        bad = jax.lax.psum(bad_local, CHAINS)
+        return jnp.where(bad > 0, jnp.inf, h)[None]
 
     f = shard_map(
         kernel, mesh=mesh,
@@ -173,10 +181,21 @@ def ksize_bandwidths_sharded(mesh: Mesh,
                     KERNELS)
                 logp = (jnp.log(ssum) + lmax - 0.5 * LOG_2PI
                         - jnp.log1p(-qw))
-                h = -jnp.sum(qw * logp)
+                # zero-likelihood guard matching eval_avg_logl_from_logp
+                # (ops/kernels.py), which every single-device LOO-entropy
+                # path applies: an underflowed-to-zero LOO likelihood at a
+                # positive-weight query yields an infinite objective (the
+                # golden search then moves away from it) instead of a NaN
+                # that would diverge from the single-device selection
+                h = -jnp.sum(jnp.where(qw > 0,
+                                       qw * jnp.where(qw > 0, logp, 0.0),
+                                       0.0))
+                bad = jnp.sum(jnp.where(jnp.isneginf(logp) & (qw > 0),
+                                        1.0, 0.0))
                 if nc > 1:
                     h = jax.lax.psum(h, CHAINS)
-                outs.append(h)
+                    bad = jax.lax.psum(bad, CHAINS)
+                outs.append(jnp.where(bad > 0, jnp.inf, h))
             return jnp.stack(outs)
 
         xmin, _ = _golden_core(nloo, ax, bx, cx, tol)

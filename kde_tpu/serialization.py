@@ -45,10 +45,18 @@ def from_string(s: str) -> KDE:
 
 
 def save_kde(path: str, p: KDE) -> None:
-    np.savez(path,
-             points=np.asarray(p.points),
-             bw=np.asarray(p.bw),
-             weights=np.asarray(p.weights),
+    # prefer the retained host copies (cast to the device dtype): a
+    # host-backed KDE checkpoints without any device upload or readback
+    np_dtype = np.dtype(p.dtype.name)
+    if p._host_points is not None and p._host_bw is not None \
+            and p._host_weights is not None:
+        pts = p._host_points.astype(np_dtype)
+        bw = p._host_bw.astype(np_dtype)
+        w = p._host_weights.astype(np_dtype)
+    else:
+        pts, bw, w = (np.asarray(p.points), np.asarray(p.bw),
+                      np.asarray(p.weights))
+    np.savez(path, points=pts, bw=bw, weights=w,
              multibandwidth=np.asarray(p.multibandwidth))
 
 
