@@ -48,6 +48,15 @@ HOST_EVAL_LIMIT: int = 1 << 18
 # Sampling: host when n_draw * (N + n_draw) * d <= this.
 HOST_SAMPLE_LIMIT: int = 1 << 18
 
+# Fused upper-level Gibbs engine (ops/gibbs_fused.py): run every narrow
+# (<=128-candidate) level of the product schedule in ONE Pallas launch,
+# leaving only the wide bandwidth-bound levels to the XLA program.  "auto"
+# enables it on TPU backends only (elsewhere Pallas would run in the slow
+# interpreter); True forces it anywhere (tests use this with the CPU
+# interpreter); False disables.  Euclidean keyed products only -- replay
+# mode and manifold-hook products always use the pure-XLA engine.
+GIBBS_FUSED = "auto"
+
 
 def set_force_eval_direct(flag: bool = False) -> None:
     """API-compatible setter (reference ``setForceEvalDirect!``,

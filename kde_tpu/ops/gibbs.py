@@ -295,6 +295,43 @@ def _select_label(u, logits):
 # the chain kernel
 # ---------------------------------------------------------------------------
 
+def _fused_k(offsets, n_levels: int, euclidean: bool) -> int:
+    """Static routing decision for the fused upper-level Pallas engine
+    (ops/gibbs_fused.py): the number of leading schedule levels to run in
+    one Pallas launch, or 0 for the pure-XLA engine.  The fused region is
+    the latency-bound one (each level is a few KB of candidates); it only
+    pays when several levels fuse, so the gate requires >=3."""
+    from .. import config
+    if not euclidean or config.GIBBS_FUSED is False:
+        return 0
+    if config.GIBBS_FUSED == "auto" and jax.default_backend() != "tpu":
+        return 0
+    from .gibbs_fused import fused_level_count
+    k = fused_level_count(offsets, n_levels)
+    return k if k >= 3 else 0
+
+
+def _grouped_vmap(chain, args, n_out: int):
+    """``vmap(chain)`` over the leading chain axis, using the grouped
+    [G, 1024, ...] layout for large draws (XLA tiles the doubly-vmapped
+    level stages markedly better than flat [G*1024, ...]; measured 2x,
+    BASELINE.md).  Chains are iid given their stream rows, so grouping is
+    layout only -- same per-chain outputs either way."""
+    group = 1024
+    if n_out < 2 * group:
+        return jax.vmap(chain)(*args)
+    g, rem = divmod(n_out, group)
+    head = jax.vmap(jax.vmap(chain))(
+        *(a[:g * group].reshape((g, group) + a.shape[1:]) for a in args))
+    head = jax.tree.map(lambda o: o.reshape((g * group,) + o.shape[2:]),
+                        head)
+    if rem:
+        tail = jax.vmap(chain)(*(a[g * group:] for a in args))
+        head = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                            head, tail)
+    return head
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("offsets", "n_iter", "ndens", "ndim", "n_levels",
@@ -316,21 +353,25 @@ def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, mask, *,
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
                      "ndim", "n_levels", "addop", "diffop", "get_mu",
-                     "get_lambda", "add_entropy", "dtype"))
+                     "get_lambda", "add_entropy", "dtype", "fused_k"))
 def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
                     n_out, bu, bn, offsets, n_iter, ndens, ndim, n_levels,
-                    addop, diffop, get_mu, get_lambda, add_entropy, dtype):
+                    addop, diffop, get_mu, get_lambda, add_entropy, dtype,
+                    fused_k=0):
     """Single-dispatch product: RNG stream generation + all chains + output
     transposes fused into ONE executable.  On the axon remote runtime each
     eager dispatch costs a ~1 ms round trip once any result has been
     fetched, so the keyed (non-replay) path folds everything into one
-    program (measured: ~25% per-product latency reduction)."""
-    ku, kn = jax.random.split(key)
+    program (measured: ~25% per-product latency reduction).
 
-    def chain(u_row, n_row):
-        return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
-                          mask, n_iter, ndens, ndim, n_levels,
-                          addop, diffop, get_mu, get_lambda, add_entropy)
+    ``fused_k`` (static, from :func:`_fused_k`): when > 0, levels
+    ``1..fused_k`` run inside ONE Pallas launch that keeps the chain state
+    in VMEM across levels (ops/gibbs_fused.py) -- the latency-bound narrow
+    region of the schedule -- and the XLA chain program resumes at
+    ``fused_k + 1`` for the wide bandwidth-bound levels.  Streams are drawn
+    once in the absolute full-schedule layout, so both engines consume
+    exactly the same per-chain draws."""
+    ku, kn = jax.random.split(key)
 
     # One flat stream draw for every layout: chain i always consumes row i
     # of the key's [n_out, b] stream, so same-key outputs are invariant to
@@ -341,35 +382,53 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
     # replay mode.
     u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
     n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
-    # Grouped chain layout for large draws: XLA tiles a doubly-vmapped
-    # [G, C, n_l] level stage markedly better than a flat [G*C, n_l] one
-    # (measured 2x at 4x1024 vs 4096 flat, BASELINE.md "negative results"
-    # note) -- chains are iid given the stream, so grouping is layout only.
-    group = 1024
-    if n_out >= 2 * group:
-        g, rem = divmod(n_out, group)
-        pts, idx, labels = jax.vmap(jax.vmap(chain))(
-            u[:g * group].reshape(g, group, bu),
-            n_[:g * group].reshape(g, group, bn))
-        pts = pts.reshape(g * group, -1)
-        idx = idx.reshape(g * group, -1)
-        labels = labels.reshape(g * group, *labels.shape[2:])
-        if rem:                         # remainder chains: one flat vmap,
-            pr, ir, lr = jax.vmap(chain)(u[g * group:], n_[g * group:])
-            pts = jnp.concatenate([pts, pr])
-            idx = jnp.concatenate([idx, ir])
-            labels = jnp.concatenate([labels, lr])
-    else:
-        pts, idx, labels = jax.vmap(chain)(u, n_)
+
+    if fused_k:
+        from .gibbs_fused import build_fused_inputs, fused_upper_levels
+        K = fused_k
+        S = (1 + n_iter) * ndens
+        _, _, _, lvl_logw_cat, lvl_ms_cat, lvl_perm_cat = lvl_arrays
+        ms, logw, perm = build_fused_inputs(
+            lvl_ms_cat, lvl_logw_cat, lvl_perm_cat, offsets, K, ndens, ndim)
+        mu0, var0, labels_hi = fused_upper_levels(
+            u[:, ndens:ndens + K * S], n_[:, :K * ndim], ms, logw, perm,
+            mask, t_mean, t_bw, K=K, dn=ndens, d=ndim, n_iter=n_iter,
+            interpret=jax.default_backend() == "cpu")
+
+        def chain(u_row, n_row, im, iv, ip):
+            return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean,
+                              t_bw, mask, n_iter, ndens, ndim, n_levels,
+                              addop, diffop, get_mu, get_lambda,
+                              add_entropy, start_level=K + 1, init_mu=im,
+                              init_var=iv, init_perms=ip)
+        pts, idx, labels_lo = _grouped_vmap(
+            chain, (u, n_, mu0, var0, labels_hi[:, K - 1, :]), n_out)
+        labels = jnp.concatenate([labels_hi, labels_lo], axis=1)
+        return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
+
+    def chain(u_row, n_row):
+        return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
+                          mask, n_iter, ndens, ndim, n_levels,
+                          addop, diffop, get_mu, get_lambda, add_entropy)
+    pts, idx, labels = _grouped_vmap(chain, (u, n_), n_out)
     return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
 
 
 def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                mask, n_iter, ndens, ndim, n_levels,
-               addop, diffop, get_mu, get_lambda, add_entropy):
+               addop, diffop, get_mu, get_lambda, add_entropy,
+               start_level: int = 1, init_mu=None, init_var=None,
+               init_perms=None):
     """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
     chain's pre-generated uniform/normal streams, laid out in the reference's
     consumption order (see module docstring).
+
+    ``start_level``/``init_*``: resume the schedule mid-way from an explicit
+    chain state -- the handoff point of the fused upper-level Pallas kernel
+    (ops/gibbs_fused.py), which runs levels ``1..start_level-1`` in one
+    launch and leaves the wide (bandwidth-bound) levels to this program.
+    The stream layout is absolute (full-schedule), so resumed chains consume
+    exactly the draws the skipped levels would have left them.
 
     Op-count discipline: on the axon runtime this program is bound by the
     latency of sequential kernel launches (~6.5 us each), so the level loop
@@ -407,9 +466,12 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
 
     # initial selection: every tree's root (node 0); its stats are static
     # slices (updateGlbParticlesVariance!, reference src/MSGibbs01.jl:89-107)
-    mu_sel = jnp.where(mask, t_mean[:, 0, :], 0.0)              # [dn, d]
-    var_sel = jnp.where(mask, t_bw[:, 0, :], 0.0)
-    perms = jnp.zeros(ndens, dtype=jnp.int32)
+    if init_mu is None:
+        mu_sel = jnp.where(mask, t_mean[:, 0, :], 0.0)          # [dn, d]
+        var_sel = jnp.where(mask, t_bw[:, 0, :], 0.0)
+        perms = jnp.zeros(ndens, dtype=jnp.int32)
+    else:
+        mu_sel, var_sel, perms = init_mu, init_var, init_perms
     labels_rec = []
 
     _, lvl_mean_cat, lvl_bw_cat, lvl_logw_cat, lvl_ms_cat, lvl_perm_cat = \
@@ -424,7 +486,7 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
         perm = jnp.sum(jnp.where(onehot, lvl_perm_j, 0))
         return nm, nv, perm
 
-    for l in range(1, n_levels + 1):
+    for l in range(start_level, n_levels + 1):
         o, w = offsets[l - 1]
         lvl_mean = lvl_mean_cat[:, o:o + w]
         lvl_bw = lvl_bw_cat[:, o:o + w]
@@ -482,9 +544,11 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
         labels_rec.append(perms)
 
     # final labels + final draw (:612-625)
-    final_idx = labels_rec[-1]
+    final_idx = labels_rec[-1] if labels_rec else perms
     x = sample_point(mu_sel, var_sel, normals[n_levels], add_entropy)
-    return x, final_idx, jnp.stack(labels_rec)                  # [d],[dn],[L,dn]
+    labels = (jnp.stack(labels_rec) if labels_rec
+              else jnp.zeros((0, ndens), jnp.int32))
+    return x, final_idx, labels                                 # [d],[dn],[L,dn]
 
 
 # ---------------------------------------------------------------------------
@@ -574,13 +638,16 @@ def prod_appx_ms_gibbs(npd0,
         # into ONE dispatch (each eager op costs a round trip on the axon
         # runtime once any result has been fetched)
         key = ensure_key(key)
+        euclid = (addop_t is None and diffop_t is None
+                  and get_mu_t is None and get_lambda_t is None)
         pts_t, idx_t, labels_t = _gibbs_from_key(
             key, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
             n_out=n_out, bu=bu, bn=bn, offsets=tuple(plan.offsets),
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
             addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
             get_lambda=get_lambda_t, add_entropy=add_entropy,
-            dtype=jnp.dtype(dtype).name)
+            dtype=jnp.dtype(dtype).name,
+            fused_k=_fused_k(tuple(plan.offsets), n_levels, euclid))
         out = (pts_t, idx_t)
         if record_labels:
             out = out + (labels_t,)
@@ -674,10 +741,10 @@ def product_batched(density_sets,
 @functools.partial(
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
-                     "ndim", "n_levels", "add_entropy", "dtype"))
+                     "ndim", "n_levels", "add_entropy", "dtype", "fused_k"))
 def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
                         mask, *, n_out, bu, bn, offsets, n_iter, ndens,
-                        ndim, n_levels, add_entropy, dtype):
+                        ndim, n_levels, add_entropy, dtype, fused_k=0):
     """B independent products over B density sets in ONE dispatch: the plan
     arrays carry a leading set axis and the whole keyed product is vmapped
     over it.  ``key`` is split into one key per set, so set ``i``'s output
@@ -690,7 +757,8 @@ def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
             k, lvl, tm, tb, m, n_out=n_out, bu=bu, bn=bn,
             offsets=offsets, n_iter=n_iter, ndens=ndens, ndim=ndim,
             n_levels=n_levels, addop=None, diffop=None, get_mu=None,
-            get_lambda=None, add_entropy=add_entropy, dtype=dtype)
+            get_lambda=None, add_entropy=add_entropy, dtype=dtype,
+            fused_k=fused_k)
     return jax.vmap(one)(keys, lvl_arrays, t_mean, t_bw, mask)
 
 
@@ -808,7 +876,8 @@ class BatchedProductSampler:
             self.mask, n_out=self.n_out, bu=self.bu,
             bn=self.bn, offsets=self.offsets, n_iter=self.n_iter,
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
-            add_entropy=self.add_entropy, dtype=self._dtype_name)
+            add_entropy=self.add_entropy, dtype=self._dtype_name,
+            fused_k=_fused_k(self.offsets, self.n_levels, True))
         return pts, idx
 
 
@@ -854,5 +923,6 @@ class ProductSampler:
             offsets=tuple(p.offsets), n_iter=self.n_iter, ndens=p.ndens,
             ndim=p.ndim, n_levels=p.n_levels, addop=None, diffop=None,
             get_mu=None, get_lambda=None, add_entropy=self.add_entropy,
-            dtype=jnp.dtype(self.dtype).name)
+            dtype=jnp.dtype(self.dtype).name,
+            fused_k=_fused_k(tuple(p.offsets), p.n_levels, True))
         return pts_t, idx_t

@@ -1,0 +1,156 @@
+"""Fused upper-level Gibbs engine (ops/gibbs_fused.py) vs the pure-XLA
+chain program.
+
+The fused engine runs every narrow schedule level inside one Pallas launch
+and hands the chain state to the XLA program for the wide levels.  Both
+engines consume the same absolute per-chain stream layout, so with the same
+PRNG key they must produce IDENTICAL labels and samples (the kernel mirrors
+the chain arithmetic step for step; reference algorithm
+src/MSGibbs01.jl:527-629).  On the CPU test mesh the kernel runs in Pallas
+interpret mode (config.GIBBS_FUSED = True forces routing off-TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kde_tpu import config
+from kde_tpu.density import kde
+from kde_tpu.ops import gibbs
+from kde_tpu.ops.gibbs import _fused_k, _grouped_vmap
+
+
+@pytest.fixture
+def force_fused():
+    old = config.GIBBS_FUSED
+    config.GIBBS_FUSED = True
+    yield
+    config.GIBBS_FUSED = old
+
+
+def _mk_densities(rng, n_comp, d, dn, multibw=False, offset=1.0):
+    dens = []
+    for j in range(dn):
+        pts = rng.normal(size=(d, n_comp)) + j * offset
+        if multibw:
+            bw = rng.uniform(0.2, 0.6, size=(d, n_comp))
+        else:
+            bw = np.full((d,), 0.35)
+        dens.append(kde(pts, bw))
+    return dens
+
+
+def _ab(dens, n_out, key, n_iter=3, mask=None):
+    """Product under both engines with the same key."""
+    old = config.GIBBS_FUSED
+    config.GIBBS_FUSED = False
+    p0, i0, l0 = gibbs.prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, key=key, record_labels=True,
+        partial_dim_mask=mask)
+    config.GIBBS_FUSED = True
+    p1, i1, l1 = gibbs.prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, key=key, record_labels=True,
+        partial_dim_mask=mask)
+    config.GIBBS_FUSED = old
+    return map(np.asarray, (p0, i0, l0, p1, i1, l1))
+
+
+def test_fused_routing_gate(force_fused):
+    # width<=128 levels count; gate requires >= 3 fusable levels
+    offsets = ((0, 2), (2, 4), (6, 8), (14, 200))
+    assert _fused_k(offsets, 4, euclidean=True) == 3
+    assert _fused_k(offsets[:2], 2, euclidean=True) == 0       # < 3 levels
+    assert _fused_k(offsets, 4, euclidean=False) == 0          # manifold
+    config.GIBBS_FUSED = False
+    assert _fused_k(offsets, 4, euclidean=True) == 0
+
+
+def test_fused_identical_partial_schedule(force_fused):
+    # n_comp=300 -> n_levels=9 with wide tail levels: fused region is a
+    # strict prefix, XLA resumes mid-schedule
+    rng = np.random.default_rng(0)
+    dens = _mk_densities(rng, 300, 2, 2)
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 200, jax.random.PRNGKey(0))
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_fused_identical_full_schedule(force_fused):
+    # n_comp=100 -> every level fits 128 wide: K == n_levels, the XLA
+    # program contributes only the final draw
+    rng = np.random.default_rng(1)
+    dens = _mk_densities(rng, 100, 1, 3)
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 100, jax.random.PRNGKey(1))
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_fused_identical_multibandwidth(force_fused):
+    rng = np.random.default_rng(2)
+    dens = _mk_densities(rng, 150, 3, 2, multibw=True)
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 120, jax.random.PRNGKey(2))
+    assert np.array_equal(i0, i1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_fused_identical_partial_dims(force_fused):
+    rng = np.random.default_rng(3)
+    dens = _mk_densities(rng, 200, 2, 3)
+    mask = [[True, True], [True, False], [False, True]]
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 100, jax.random.PRNGKey(3),
+                                 mask=mask)
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_fused_batched_sets(force_fused):
+    # vmapped pallas_call over the set axis of BatchedProductSampler
+    rng = np.random.default_rng(4)
+    sets = [_mk_densities(rng, 130, 2, 2) for _ in range(3)]
+    key = jax.random.PRNGKey(4)
+    old = config.GIBBS_FUSED
+    config.GIBBS_FUSED = False
+    s0 = gibbs.BatchedProductSampler(sets, n_out=100, n_iter=2)
+    pts0, idx0 = s0.sample(key)
+    config.GIBBS_FUSED = True
+    s1 = gibbs.BatchedProductSampler(sets, n_out=100, n_iter=2)
+    pts1, idx1 = s1.sample(key)
+    config.GIBBS_FUSED = old
+    assert np.array_equal(np.asarray(idx0), np.asarray(idx1))
+    np.testing.assert_allclose(np.asarray(pts0), np.asarray(pts1),
+                               rtol=0, atol=0)
+
+
+def test_fused_moments(force_fused):
+    # product of 2 standard normals (bw 0.35): mean ~ 0, std ~ 1/sqrt(2)
+    # within Monte-Carlo brackets (reference test philosophy,
+    # test/runtests.jl:167-182)
+    rng = np.random.default_rng(5)
+    dens = [kde(rng.normal(size=(2, 300)), np.full((2,), 0.35))
+            for _ in range(2)]
+    pts, _ = gibbs.prod_appx_ms_gibbs(300, dens, n_iter=5,
+                                      key=jax.random.PRNGKey(5))
+    pts = np.asarray(pts)
+    pred = 1.0 / np.sqrt(2.0)
+    assert np.linalg.norm(pts.mean(axis=1)) < pred
+    assert np.all(pts.std(axis=1) > 0.5 * pred)
+    assert np.all(pts.std(axis=1) < 1.6 * pred)
+
+
+def test_grouped_vmap_layout_only():
+    # grouping is layout only: same outputs as a flat vmap, including the
+    # non-divisible remainder tail
+    def chain(a, b):
+        return a * 2 + b.sum(), (a + b).astype(jnp.int32)
+    n = 2500                                    # 2 groups + 452 remainder
+    a = jnp.arange(n, dtype=jnp.float32)
+    b = jnp.ones((n, 3), jnp.float32)
+    got = _grouped_vmap(chain, (a, b), n)
+    want = jax.vmap(chain)(a, b)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
