@@ -330,7 +330,11 @@ def prod_appx_ms_gibbs_kernel_sharded(mesh: Mesh,
         dtype = densities[0].points.dtype
     for p in densities:
         if not (manifolds.is_euclidean(p.addop, manifolds.euclid_add)
-                and manifolds.is_euclidean(p.diffop, manifolds.euclid_diff)):
+                and manifolds.is_euclidean(p.diffop, manifolds.euclid_diff)
+                and manifolds.is_euclidean(getattr(p, "get_mu", None),
+                                           manifolds.euclid_mu)
+                and manifolds.is_euclidean(getattr(p, "get_lambda", None),
+                                           manifolds.euclid_lambda)):
             raise ValueError("kernel-sharded products support Euclidean "
                              "densities only; use prod_appx_ms_gibbs for "
                              "on-manifold densities")
