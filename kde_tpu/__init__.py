@@ -18,7 +18,14 @@ from .functionals import (
     kld, minkld,
 )
 from .ops.balltree import FlatBallTree, build_balltree
-from .ops.loocv import ksize, nloo_ll
+from .ops.loocv import golden_batched, ksize, nloo_ll
+
+# The reference's golden-section search (src/CrossValidation.jl:44-98).
+# kde_tpu's form is batched-functional -- it minimizes a vectorized
+# objective over many brackets as one device program -- rather than the
+# reference's (density, objective) signature; `ksize`/`nloo_ll` cover the
+# reference's only call site (src/CrossValidation.jl:116).
+golden = golden_batched
 from .ops.sampling import rand_kde, resample, sample, sample_at
 from .serialization import from_string, load_kde, save_kde, to_string
 from .utils.random import set_seed
@@ -47,6 +54,14 @@ def marginal(p: KDE, dims):
     return p.marginal(dims)
 
 
+def root(p) -> int:
+    """Root node slot of a density's ball tree (reference ``root``,
+    src/BallTree01.jl:64; exported at src/KernelDensityEstimate.jl:22).
+    kde_tpu uses the fixture dumps' 0-based slot convention, so the root
+    is slot 0 (the reference's 1-based Julia arrays call it 1)."""
+    return 0
+
+
 def npts(p) -> int:
     """Number of kernels (reference ``Npts``, src/BallTree01.jl:66)."""
     return p.npts
@@ -70,9 +85,9 @@ __all__ = [
     "to_string", "from_string", "save_kde", "load_kde",
     "BatchedProductSampler", "ProductSampler", "prod_appx_ms_gibbs",
     "product", "product_batched",
-    "evaluate_dual_tree", "ksize", "nloo_ll",
+    "evaluate_dual_tree", "ksize", "nloo_ll", "golden", "golden_batched",
     "FlatBallTree", "build_balltree",
     "BallTreeDensity", "MixtureDensity", "BallTree", "VectorRange",
-    "marginal", "npts", "ndim",
+    "marginal", "npts", "ndim", "root",
     "set_seed", "set_force_eval_direct", "manifolds",
 ]
