@@ -129,6 +129,199 @@ def test_worked_trace(add_entropy):
     np.testing.assert_array_equal(np.asarray(idx_v)[:, 0], want_idx)
 
 
+# ---------------------------------------------------------------------------
+# partial-dimension worked trace (VERDICT r2 #7): the corner where an oracle
+# misreading of the dim-mask semantics would be invisible to replay parity
+# ---------------------------------------------------------------------------
+
+# 2-D config: density A informs both dims, density B only dim 1.
+# Uniforms: Ndens*(1 + Nlevels*(1+Niter)) = 2*(1+2*2) = 10;
+# normals: Ndim*(Nlevels+1) = 2*3 = 6.
+U_P = np.array([0.77, 0.43, 0.30, 0.81, 0.72, 0.07, 0.55, 0.93, 0.28, 0.48])
+NRM_P = np.array([0.6, -1.1, 0.35, -0.2, 0.9, -0.7])
+MASK_P = np.array([[True, True], [False, True]])
+
+
+def _densities_partial():
+    a = kde(np.array([[0.0, 2.0], [0.5, 1.5]]), [0.5])
+    b = kde(np.array([[10.0, 11.0], [1.0, 3.0]]), [1.0])
+    return a, b
+
+
+def _hand_trace_partial(ta, tb, add_entropy):
+    """Reference code path with partialDimMask = [[1,1],[0,1]], transcribed
+    step by step.  The load-bearing reads:
+
+    * ``updateGlbParticlesVariance!`` zeroes B's dim-0 particle/variance
+      (src/MSGibbs01.jl:95-107), so B never contributes dim-0 information.
+    * ``gaussianProductMeanCov!`` checks ``partialDimMask[j][dim]`` per
+      contributor (:199-209): dim 0 of every product is A's kernel alone
+      (cov = A's variance, no actual "product"), dim 1 is the two-kernel
+      information product.
+    * ``makeFasterSampleIndex!`` restricts candidate likelihoods to
+      ``partialDimMask[j][i] && dimmask[i]`` where ``dimmask`` is the OR of
+      the *other* densities' masks (:270-285).  With B = [0,1]: A's own
+      selections use dim 1 ONLY (A's dim-0 information has no counterpart
+      to condition on), and B's likewise -- so in this config every label
+      selection is a pure dim-1 computation even though A is full-dim.
+    """
+    mA, vA, wA = ta.means, ta.bandwidth, ta.weights          # [4, 2], [4]
+    mB, vB, wB = tb.means, tb.bandwidth, tb.weights
+
+    def select(u, m, v, w, mu1, cov1):
+        # dim 1 only (see docstring); formulas as src/MSGibbs01.jl:287-296
+        c2, c3 = v[2, 1] + cov1, v[3, 1] + cov1
+        p2 = np.exp(-0.5 * ((m[2, 1] - mu1) ** 2 / c2 + np.log(c2))) * w[2]
+        p3 = np.exp(-0.5 * ((m[3, 1] - mu1) ** 2 / c3 + np.log(c3))) * w[3]
+        return 2 if u <= p2 / (p2 + p3) else 3
+
+    def product_d1(muA, varA, muB, varB):
+        lamA, lamB = 1.0 / varA, 1.0 / varB                  # :199-209
+        cov = 1.0 / (lamA + lamB)
+        return cov * (lamA * muA + lamB * muB), cov
+
+    # initIndices!: U_P[0], U_P[1] burned (single root candidate)
+    # ---- level 1 ----
+    # samplePoint! walks dims in order, one randN each (:448-461):
+    # dim 0 <- A's root kernel alone; dim 1 <- information product
+    x0 = mA[0, 0] + np.sqrt(vA[0, 0]) * NRM_P[0]
+    mu1, cov1 = product_d1(mA[0, 1], vA[0, 1], mB[0, 1], vB[0, 1])
+    x1 = mu1 + np.sqrt(cov1) * NRM_P[1]
+    del x0                           # never conditioned on in this config
+    iA = select(U_P[2], mA, vA, wA, x1, 0.0)
+    iB = select(U_P[3], mB, vB, wB, x1, 0.0)
+    # Gibbs sweep: j=A leaves out A -> conditioner is B's selected kernel
+    # (dim 1); j=B uses A's NEW selection (sequential, :604-608)
+    iA = select(U_P[4], mA, vA, wA, mB[iB, 1], vB[iB, 1])
+    iB = select(U_P[5], mB, vB, wB, mA[iA, 1], vA[iA, 1])
+
+    # ---- level 2 (leaves self-replicate) ----
+    x0 = mA[iA, 0] + np.sqrt(vA[iA, 0]) * NRM_P[2]
+    mu2, cov2 = product_d1(mA[iA, 1], vA[iA, 1], mB[iB, 1], vB[iB, 1])
+    x1 = mu2 + np.sqrt(cov2) * NRM_P[3]
+    del x0
+    iA = select(U_P[6], mA, vA, wA, x1, 0.0)
+    iB = select(U_P[7], mB, vB, wB, x1, 0.0)
+    iA = select(U_P[8], mA, vA, wA, mB[iB, 1], vB[iB, 1])
+    iB = select(U_P[9], mB, vB, wB, mA[iA, 1], vA[iA, 1])
+
+    idx = np.array([ta.permutation[iA], tb.permutation[iB]])
+    # final samplePoint! (:625): dim 0 is A's selected kernel alone
+    xf0 = mA[iA, 0] + (np.sqrt(vA[iA, 0]) * NRM_P[4] if add_entropy else 0.0)
+    muf, covf = product_d1(mA[iA, 1], vA[iA, 1], mB[iB, 1], vB[iB, 1])
+    xf1 = muf + (np.sqrt(covf) * NRM_P[5] if add_entropy else 0.0)
+    return np.array([xf0, xf1]), idx
+
+
+@pytest.mark.parametrize("add_entropy", [True, False])
+def test_worked_trace_partial_dims(add_entropy):
+    a, b = _densities_partial()
+    want_x, want_idx = _hand_trace_partial(a.tree, b.tree, add_entropy)
+
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [a.tree, b.tree], 1, 1, U_P, NRM_P, add_entropy=add_entropy,
+        partial_dim_mask=MASK_P)
+    np.testing.assert_allclose(pts_s[:, 0], want_x, rtol=1e-12)
+    np.testing.assert_array_equal(idx_s[:, 0], want_idx)
+
+    pts_v, idx_v = prod_appx_ms_gibbs(
+        1, [a, b], n_iter=1, add_entropy=add_entropy, rand_u=U_P,
+        rand_n=NRM_P, partial_dim_mask=MASK_P)
+    np.testing.assert_allclose(np.asarray(pts_v)[:, 0], want_x, rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx_v)[:, 0], want_idx)
+
+
+# ---------------------------------------------------------------------------
+# multibandwidth worked trace (VERDICT r2 #7): per-kernel bandwidths pin the
+# per-node bw read (src/MSGibbs01.jl:287 `bw(glb.trees[j], zz, i)` under the
+# multibandwidth stride, src/BallTreeDensity01.jl:92-93) and the
+# moment-matched internal-node variances entering coarse-level candidates
+# ---------------------------------------------------------------------------
+
+U_M = np.array([0.77, 0.43, 0.60, 0.81, 0.35, 0.07, 0.55, 0.93, 0.12, 0.48])
+NRM_M = np.array([0.6, -1.1, 0.35])
+
+
+def _densities_multibw():
+    # per-kernel bandwidth std-devs (bw [d, N] -> multibandwidth)
+    a = kde(np.array([[0.0, 2.0]]), np.array([[0.5, 0.9]]))
+    b = kde(np.array([[1.0, 3.0]]), np.array([[1.0, 0.6]]))
+    return a, b
+
+
+def _hand_trace_multibw(ta, tb, add_entropy):
+    """Same straight-line arithmetic as the uniform-bw trace, but the leaf
+    bandwidths differ per kernel AND the level-1 candidates are the
+    moment-matched root stats (wL(sL^2+muL^2)+wR(sR^2+muR^2)-mu^2,
+    src/BallTreeDensity01.jl:178-185) -- an oracle that read the uniform
+    bandwidth stride (or broadcast one leaf bw) would diverge here."""
+    assert ta.multibandwidth and tb.multibandwidth
+    mA, vA, wA = ta.means[:, 0], ta.bandwidth[:, 0], ta.weights
+    mB, vB, wB = tb.means[:, 0], tb.bandwidth[:, 0], tb.weights
+
+    def select(u, m, v, w, mu, cov):
+        c2, c3 = v[2] + cov, v[3] + cov
+        p2 = np.exp(-0.5 * ((m[2] - mu) ** 2 / c2 + np.log(c2))) * w[2]
+        p3 = np.exp(-0.5 * ((m[3] - mu) ** 2 / c3 + np.log(c3))) * w[3]
+        return 2 if u <= p2 / (p2 + p3) else 3
+
+    def product2(muA, varA, muB, varB):
+        lamA, lamB = 1.0 / varA, 1.0 / varB
+        cov = 1.0 / (lamA + lamB)
+        return cov * (lamA * muA + lamB * muB), cov
+
+    # initIndices! burns U_M[0], U_M[1]
+    mu1, cov1 = product2(mA[0], vA[0], mB[0], vB[0])     # root moment stats
+    x1 = mu1 + np.sqrt(cov1) * NRM_M[0]
+    iA = select(U_M[2], mA, vA, wA, x1, 0.0)
+    iB = select(U_M[3], mB, vB, wB, x1, 0.0)
+    iA = select(U_M[4], mA, vA, wA, mB[iB], vB[iB])
+    iB = select(U_M[5], mB, vB, wB, mA[iA], vA[iA])
+    mu2, cov2 = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    x2 = mu2 + np.sqrt(cov2) * NRM_M[1]
+    iA = select(U_M[6], mA, vA, wA, x2, 0.0)
+    iB = select(U_M[7], mB, vB, wB, x2, 0.0)
+    iA = select(U_M[8], mA, vA, wA, mB[iB], vB[iB])
+    iB = select(U_M[9], mB, vB, wB, mA[iA], vA[iA])
+    idx = np.array([ta.permutation[iA], tb.permutation[iB]])
+    muf, covf = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    xf = muf + (np.sqrt(covf) * NRM_M[2] if add_entropy else 0.0)
+    return xf, idx
+
+
+def test_multibw_trees_have_distinct_leaf_bandwidths():
+    """Guard that the config actually exercises the multibandwidth stride:
+    the two leaf bandwidths differ within each tree, and the root variance
+    is the moment-matched combination (not either leaf's)."""
+    a, b = _densities_multibw()
+    for t in (a.tree, b.tree):
+        assert t.multibandwidth
+        assert t.bandwidth[2, 0] != t.bandwidth[3, 0]
+        wL, wR = t.weights[2], t.weights[3]
+        wT = wL + wR
+        mu = (wL * t.means[2, 0] + wR * t.means[3, 0]) / wT
+        v = (wL / wT * (t.bandwidth[2, 0] + t.means[2, 0] ** 2)
+             + wR / wT * (t.bandwidth[3, 0] + t.means[3, 0] ** 2) - mu ** 2)
+        np.testing.assert_allclose(t.bandwidth[0, 0], v, rtol=1e-9)
+
+
+@pytest.mark.parametrize("add_entropy", [True, False])
+def test_worked_trace_multibandwidth(add_entropy):
+    a, b = _densities_multibw()
+    want_x, want_idx = _hand_trace_multibw(a.tree, b.tree, add_entropy)
+
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [a.tree, b.tree], 1, 1, U_M, NRM_M, add_entropy=add_entropy)
+    np.testing.assert_allclose(pts_s[0, 0], want_x, rtol=1e-12)
+    np.testing.assert_array_equal(idx_s[:, 0], want_idx)
+
+    pts_v, idx_v = prod_appx_ms_gibbs(
+        1, [a, b], n_iter=1, add_entropy=add_entropy, rand_u=U_M,
+        rand_n=NRM_M)
+    np.testing.assert_allclose(np.asarray(pts_v)[0, 0], want_x, rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx_v)[:, 0], want_idx)
+
+
 def test_worked_trace_hits_both_cdf_branches():
     """The chosen uniforms must actually exercise both sides of the CDF scan
     (first candidate accepted AND fall-to-last), otherwise the trace would
