@@ -7,6 +7,13 @@ runs on CPU/float64, so this is the evidence that accelerator precision
 doesn't degrade sampling quality.  Measured 2026-08-16: 10/10 on every
 config (the reference itself only requires 5/10).
 
+Round 3 adds (VERDICT r2 #5):
+* a LARGE-SCALE row -- product of two 50,000-component Gaussians, the scale
+  BASELINE.md's envelope claims -- with the same moment brackets;
+* a KERNEL-SHARDED row, run in a subprocess on the virtual 8-device CPU
+  mesh (statistical acceptance of parallel/gibbs_kernel_sharded.py beyond
+  the tiny trace-parity shapes).
+
 Run: python tools/validate_tpu.py   (on a TPU-attached host)
 
 Writes the results to VALIDATE_TPU.json at the repo root (the recorded
@@ -15,42 +22,153 @@ artifact the prose claims in BASELINE.md point at).
 import datetime
 import json
 import os
+import subprocess
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-import numpy as np, jax, jax.numpy as jnp
-from kde_tpu import kde, prod_appx_ms_gibbs
 
-def test_prods(key, D=3, M=6, N=100, n=100, dev=1.0, mcmc=5, plan="host"):
-    # full reference grid (test/runtests.jl:189-201) on the f32 TPU engine
-    keys = jax.random.split(key, M + 1)
-    rng = np.random.default_rng(int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
-    dens = [kde(dev * rng.normal(size=(D, N)), dtype=jnp.float32) for _ in range(M)]
-    pts, _ = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1], plan=plan)
-    pts = np.asarray(pts)
+
+def moment_ok(pts, D, M, dev=1.0):
+    """The reference's brackets (test/runtests.jl:167-182)."""
+    import numpy as np
     prod_dev = np.sqrt(dev ** (2 * M) / (M * dev ** 2))
     t1 = np.linalg.norm(pts.mean(axis=1)) < 1.0 * prod_dev
-    t2 = all(0.66 * prod_dev < pts[i].std() < 1.33 * prod_dev for i in range(D))
-    return t1 and t2
+    t2 = all(0.66 * prod_dev < pts[i].std() < 1.33 * prod_dev
+             for i in range(D))
+    return bool(t1 and t2)
 
-print("backend:", jax.default_backend(), flush=True)
-ok = True
-rows = []
-for cfg in [dict(D=2, M=2), dict(D=2, M=4), dict(D=2, M=6),
-            dict(D=3, M=6, mcmc=10), dict(D=4, M=6, n=200, mcmc=10),
-            dict(D=3, M=5, N=300), dict(D=2, M=7, n=300),
-            dict(D=3, M=2, mcmc=100)]:
-    for plan in ("host", "device"):
-        keys = jax.random.split(jax.random.PRNGKey(17), 10)
-        wins = int(sum(test_prods(k, plan=plan, **cfg) for k in keys))
+
+def run_main_grid():
+    import numpy as np, jax, jax.numpy as jnp
+    from kde_tpu import kde, prod_appx_ms_gibbs
+
+    def test_prods(key, D=3, M=6, N=100, n=100, dev=1.0, mcmc=5,
+                   plan="host"):
+        # full reference grid (test/runtests.jl:189-201) on the f32 engine
+        keys = jax.random.split(key, M + 1)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+        dens = [kde(dev * rng.normal(size=(D, N)), dtype=jnp.float32)
+                for _ in range(M)]
+        pts, _ = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1],
+                                    plan=plan)
+        return moment_ok(np.asarray(pts), D, M, dev)
+
+    print("backend:", jax.default_backend(), flush=True)
+    ok = True
+    rows = []
+    for cfg in [dict(D=2, M=2), dict(D=2, M=4), dict(D=2, M=6),
+                dict(D=3, M=6, mcmc=10), dict(D=4, M=6, n=200, mcmc=10),
+                dict(D=3, M=5, N=300), dict(D=2, M=7, n=300),
+                dict(D=3, M=2, mcmc=100)]:
+        for plan in ("host", "device"):
+            keys = jax.random.split(jax.random.PRNGKey(17), 10)
+            wins = int(sum(test_prods(k, plan=plan, **cfg) for k in keys))
+            ok &= wins >= 5
+            rows.append({**cfg, "plan": plan, "wins": wins, "of": 10})
+            print(f"{cfg} plan={plan}: {wins}/10 trials passed (need >=5)",
+                  flush=True)
+
+    # large-scale row: 2 x 50,000-component 2-D product, 1000 samples
+    # (BASELINE.md scale envelope; VERDICT r2 #5a) -- 5 trials, majority
+    def test_large(key, N=50_000, D=2, M=2, n=1000, mcmc=5):
+        keys = jax.random.split(key, M + 1)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+        dens = [kde(rng.normal(size=(D, N)).astype(np.float32),
+                    [float(1.06 * N ** -0.2)], dtype=jnp.float32)
+                for _ in range(M)]
+        pts, _ = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1])
+        return moment_ok(np.asarray(pts), D, M)
+
+    keys = jax.random.split(jax.random.PRNGKey(23), 5)
+    wins = int(sum(test_large(k) for k in keys))
+    ok &= wins >= 3
+    rows.append({"D": 2, "M": 2, "N": 50_000, "n": 1000, "mcmc": 5,
+                 "plan": "large-scale", "wins": wins, "of": 5})
+    print(f"large-scale 2x50k: {wins}/5 trials passed (need >=3)",
+          flush=True)
+    return rows, ok, jax.default_backend()
+
+
+def run_kernel_sharded_stage():
+    """Child-process stage: statistical acceptance of the kernel-sharded
+    engine on the virtual 8-device CPU mesh (VERDICT r2 #5b).  Prints one
+    JSON line; the parent merges it into VALIDATE_TPU.json."""
+    import jax
+    # sitecustomize force-pins JAX_PLATFORMS=axon; restore the env choice
+    jax.config.update("jax_platforms",
+                      os.environ.get("JAX_PLATFORMS", "cpu"))
+    import numpy as np, jax.numpy as jnp
+    from jax.sharding import Mesh
+    from kde_tpu import kde
+    from kde_tpu.parallel.gibbs_kernel_sharded import (
+        prod_appx_ms_gibbs_kernel_sharded)
+    from kde_tpu.parallel.mesh import KERNELS
+
+    mesh = Mesh(np.array(jax.devices()[:8]), (KERNELS,))
+    rows, ok = [], True
+    for cfg in [dict(D=2, M=2, N=128, n=100, mcmc=5),
+                dict(D=3, M=4, N=256, n=100, mcmc=5)]:
+        D, M, N, n, mcmc = (cfg[k] for k in ("D", "M", "N", "n", "mcmc"))
+
+        def trial(key):
+            keys = jax.random.split(key, M + 1)
+            rng = np.random.default_rng(
+                int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+            dens = [kde(rng.normal(size=(D, N)), dtype=jnp.float32)
+                    for _ in range(M)]
+            pts, _ = prod_appx_ms_gibbs_kernel_sharded(
+                mesh, n, dens, n_iter=mcmc, key=keys[-1])
+            return moment_ok(np.asarray(pts), D, M)
+
+        keys = jax.random.split(jax.random.PRNGKey(29), 10)
+        wins = int(sum(trial(k) for k in keys))
         ok &= wins >= 5
-        rows.append({**cfg, "plan": plan, "wins": wins, "of": 10})
-        print(f"{cfg} plan={plan}: {wins}/10 trials passed (need >=5)",
-              flush=True)
-out = {"date": datetime.date.today().isoformat(),
-       "backend": jax.default_backend(),
-       "dtype": "float32", "threshold": "wins >= 5 of 10",
-       "results": rows, "pass": bool(ok)}
-root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-with open(os.path.join(root, "VALIDATE_TPU.json"), "w") as f:
-    json.dump(out, f, indent=1)
-print("PASS" if ok else "FAIL")
+        rows.append({**cfg, "plan": "kernel-sharded(8)", "wins": wins,
+                     "of": 10})
+        jax.clear_caches()           # XLA:CPU JIT-map accumulation guard
+    print("KSJSON:" + json.dumps({"rows": rows, "pass": ok}), flush=True)
+
+
+def main():
+    rows, ok, backend = run_main_grid()
+
+    # kernel-sharded stage in a child process (needs a virtual 8-device CPU
+    # mesh; env must be set before jax import, hence the subprocess)
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                          " --xla_force_host_platform_device_count=8"))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage",
+             "kernel-sharded"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("KSJSON:")]
+        ks = json.loads(line[0][len("KSJSON:"):])
+        rows += ks["rows"]
+        ok &= ks["pass"]
+        for r in ks["rows"]:
+            print(f"{r}: {r['wins']}/{r['of']} (kernel-sharded, virtual "
+                  "8-device mesh)", flush=True)
+    except Exception as e:             # record the failure, don't mask it
+        rows.append({"plan": "kernel-sharded(8)", "error": str(e)})
+        ok = False
+
+    out = {"date": datetime.date.today().isoformat(),
+           "backend": backend,
+           "dtype": "float32", "threshold": "wins >= 5 of 10 "
+           "(large-scale: >= 3 of 5)",
+           "results": rows, "pass": bool(ok)}
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    with open(os.path.join(root, "VALIDATE_TPU.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("PASS" if ok else "FAIL")
+
+
+if __name__ == "__main__":
+    if "--stage" in sys.argv:
+        run_kernel_sharded_stage()
+    else:
+        main()
