@@ -295,20 +295,22 @@ def _select_label(u, logits):
 # the chain kernel
 # ---------------------------------------------------------------------------
 
-def _fused_k(offsets, n_levels: int, euclidean: bool) -> int:
+def _fused_k(offsets, n_levels: int, euclidean: bool) -> Tuple[int, int]:
     """Static routing decision for the fused upper-level Pallas engine
-    (ops/gibbs_fused.py): the number of leading schedule levels to run in
-    one Pallas launch, or 0 for the pure-XLA engine.  The fused region is
-    the latency-bound one (each level is a few KB of candidates); it only
-    pays when several levels fuse, so the gate requires >=3."""
+    (ops/gibbs_fused.py): ``(K, W)`` -- the number of leading schedule
+    levels to run in one Pallas launch and the padded candidate width --
+    or ``0`` for the pure-XLA engine.  The fused region is the
+    latency-bound one (each level is a few KB of candidates); it only pays
+    when several levels fuse, so the gate requires >=3."""
     from .. import config
     if not euclidean or config.GIBBS_FUSED is False:
         return 0
     if config.GIBBS_FUSED == "auto" and jax.default_backend() != "tpu":
         return 0
     from .gibbs_fused import fused_level_count
-    k = fused_level_count(offsets, n_levels)
-    return k if k >= 3 else 0
+    w = int(config.GIBBS_FUSED_WIDTH)
+    k = fused_level_count(offsets, n_levels, w)
+    return (k, w) if k >= 3 else 0
 
 
 def _grouped_vmap(chain, args, n_out: int):
@@ -385,14 +387,15 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
 
     if fused_k:
         from .gibbs_fused import build_fused_inputs, fused_upper_levels
-        K = fused_k
+        K, W = fused_k
         S = (1 + n_iter) * ndens
         _, _, _, lvl_logw_cat, lvl_ms_cat, lvl_perm_cat = lvl_arrays
         ms, logw, perm = build_fused_inputs(
-            lvl_ms_cat, lvl_logw_cat, lvl_perm_cat, offsets, K, ndens, ndim)
+            lvl_ms_cat, lvl_logw_cat, lvl_perm_cat, offsets, K, ndens,
+            ndim, W=W)
         mu0, var0, labels_hi = fused_upper_levels(
             u[:, ndens:ndens + K * S], n_[:, :K * ndim], ms, logw, perm,
-            mask, t_mean, t_bw, K=K, dn=ndens, d=ndim, n_iter=n_iter,
+            mask, t_mean, t_bw, K=K, dn=ndens, d=ndim, n_iter=n_iter, W=W,
             interpret=jax.default_backend() == "cpu")
 
         def chain(u_row, n_row, im, iv, ip):

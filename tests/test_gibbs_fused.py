@@ -60,9 +60,13 @@ def _ab(dens, n_out, key, n_iter=3, mask=None):
 def test_fused_routing_gate(force_fused):
     # width<=128 levels count; gate requires >= 3 fusable levels
     offsets = ((0, 2), (2, 4), (6, 8), (14, 200))
-    assert _fused_k(offsets, 4, euclidean=True) == 3
+    assert _fused_k(offsets, 4, euclidean=True) == (3, 128)
     assert _fused_k(offsets[:2], 2, euclidean=True) == 0       # < 3 levels
     assert _fused_k(offsets, 4, euclidean=False) == 0          # manifold
+    old_w = config.GIBBS_FUSED_WIDTH
+    config.GIBBS_FUSED_WIDTH = 256
+    assert _fused_k(offsets, 4, euclidean=True) == (4, 256)    # wider region
+    config.GIBBS_FUSED_WIDTH = old_w
     config.GIBBS_FUSED = False
     assert _fused_k(offsets, 4, euclidean=True) == 0
 
@@ -103,6 +107,19 @@ def test_fused_identical_partial_dims(force_fused):
     mask = [[True, True], [True, False], [False, True]]
     p0, i0, l0, p1, i1, l1 = _ab(dens, 100, jax.random.PRNGKey(3),
                                  mask=mask)
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_fused_identical_ragged_counts(force_fused):
+    # densities with different component counts: level widths are the
+    # per-level max across densities, so the shorter density's lanes carry
+    # -inf log-weight padding inside the fused kernel
+    rng = np.random.default_rng(6)
+    dens = [kde(rng.normal(size=(2, n)), np.full((2,), 0.4))
+            for n in (300, 150, 90)]
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 120, jax.random.PRNGKey(6))
     assert np.array_equal(i0, i1)
     assert np.array_equal(l0, l1)
     np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
