@@ -125,6 +125,27 @@ def test_fused_identical_ragged_counts(force_fused):
     np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
 
 
+def test_fused_identical_device_plan(force_fused):
+    # the device-built level hierarchy (ops/device_plan.py) feeds the same
+    # lvl_arrays layout into the fused repacking; fused vs XLA must stay
+    # bit-identical on that plan too (it's the auto-selected plan for
+    # device-resident products, the main TPU serving path)
+    rng = np.random.default_rng(7)
+    dens = _mk_densities(rng, 200, 2, 2)
+    key = jax.random.PRNGKey(7)
+    old = config.GIBBS_FUSED
+    config.GIBBS_FUSED = False
+    p0, i0 = gibbs.prod_appx_ms_gibbs(150, dens, n_iter=3, key=key,
+                                      plan="device")
+    config.GIBBS_FUSED = True
+    p1, i1 = gibbs.prod_appx_ms_gibbs(150, dens, n_iter=3, key=key,
+                                      plan="device")
+    config.GIBBS_FUSED = old
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                               rtol=0, atol=0)
+
+
 def test_fused_batched_sets(force_fused):
     # vmapped pallas_call over the set axis of BatchedProductSampler
     rng = np.random.default_rng(4)
