@@ -935,7 +935,11 @@ class BatchedProductSampler:
             bn=self.bn, offsets=self.offsets, n_iter=self.n_iter,
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
             add_entropy=self.add_entropy, dtype=self._dtype_name,
-            fused_k=_fused_k(self.offsets, self.n_levels, True))
+            # set-sharded batches keep the pure-XLA engine: the partitioner
+            # treats pallas_call as an opaque custom call, so auto-sharding
+            # a vmapped kernel over the mesh axis is not reliably supported
+            fused_k=(_fused_k(self.offsets, self.n_levels, True)
+                     if self.mesh is None else 0))
         return pts, idx
 
 
