@@ -38,6 +38,10 @@ LOOCV_CHUNK: int = 1024
 # reference-README-scale problems (N <= ~300) are pure latency on device.
 # At or below these work sizes the corresponding op runs on the host in f64
 # NumPy -- same math, same selection -- and never touches the device.
+# Host-path results are returned as NumPy arrays (f64); set a limit to 0 to
+# pin that op to the device path (jnp results) regardless of size.  The
+# gates only ever engage for host-backed densities with host (NumPy)
+# queries -- jnp inputs and traced callers always take the device path.
 
 # LOOCV bandwidth selection: host when N*N*d <= this (N=255 at d=1).
 HOST_LOOCV_LIMIT: int = 1 << 16

@@ -266,8 +266,12 @@ class KDE:
         densities as in the reference's deprecated vector API,
         src/DualTree01.jl:394-404).
 
-        Small host-backed evaluations run on the host in f64 and return a
-        NumPy array (same math; see ops/host_small.py)."""
+        Return type contract: small host-backed evaluations of host (NumPy)
+        queries run on the host in f64 and return a **NumPy** array (same
+        math; ops/host_small.py); everything else returns a jnp array.  The
+        flip is size-gated (``config.HOST_EVAL_LIMIT``; set it to 0 to pin
+        the device path) and never occurs for jnp inputs or device-resident
+        densities, so jitted/traced callers always see jnp."""
         if pos is not None and not isinstance(pos, jnp.ndarray):
             q_np = np.asarray(pos, dtype=np.float64)
             m = q_np.size if q_np.ndim == 1 else q_np.shape[-1]

@@ -605,7 +605,7 @@ def prod_appx_ms_gibbs(npd0,
     n_out = npd0 if isinstance(npd0, int) else npd0.npts
     densities = list(densities)
     if dtype is None:
-        dtype = densities[0].points.dtype
+        dtype = densities[0].dtype      # property: no lazy device upload
     impl = _resolve_plan_impl(densities, plan, replay=rand_u is not None)
     plan = _get_plan(densities, n_out, dtype, impl)
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
@@ -875,7 +875,7 @@ class BatchedProductSampler:
                         "addop/diffop/get_mu/get_lambda hooks; use "
                         "prod_appx_ms_gibbs (or product()) per product "
                         "for on-manifold densities")
-        dtype = self.dtype or sets[0][0].points.dtype
+        dtype = self.dtype or sets[0][0].dtype    # no lazy device upload
         impls = [_resolve_plan_impl(ds, self.plan_impl, False) for ds in sets]
         if len(set(impls)) > 1:
             # Mixed auto-resolution (some sets device-resident, some
@@ -960,8 +960,11 @@ class ProductSampler:
                  partial_dim_mask=None, dtype=None, plan: str = "auto"):
         self.densities = list(densities)
         if dtype is None:
-            dtype = self.densities[0].points.dtype
+            dtype = self.densities[0].dtype     # no lazy device upload
         self.dtype = dtype
+        # density-attached manifold hooks flow into the engine exactly as
+        # product() does (same consistency rule; no silent-Euclidean path)
+        self.hooks = _density_hooks(self.densities)
         self.n_out = n_out
         self.n_iter = n_iter
         self.add_entropy = add_entropy
@@ -979,12 +982,16 @@ class ProductSampler:
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
         p = self.plan
+        addop, diffop, get_mu, get_lambda = self.hooks
+        euclid = (addop is None and diffop is None
+                  and get_mu is None and get_lambda is None)
         pts_t, idx_t, _ = _gibbs_from_key(
             key, p.lvl_arrays, p.t_mean, p.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu, bn=self.bn,
             offsets=tuple(p.offsets), n_iter=self.n_iter, ndens=p.ndens,
-            ndim=p.ndim, n_levels=p.n_levels, addop=None, diffop=None,
-            get_mu=None, get_lambda=None, add_entropy=self.add_entropy,
+            ndim=p.ndim, n_levels=p.n_levels, addop=addop, diffop=diffop,
+            get_mu=get_mu, get_lambda=get_lambda,
+            add_entropy=self.add_entropy,
             dtype=jnp.dtype(self.dtype).name,
-            fused_k=_fused_k(tuple(p.offsets), p.n_levels, True))
+            fused_k=_fused_k(tuple(p.offsets), p.n_levels, euclid))
         return pts_t, idx_t

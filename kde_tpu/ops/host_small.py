@@ -11,13 +11,12 @@ the same one large serving systems use for tiny requests: a host fast path.
 Every function here is the f64 NumPy twin of a device program and computes
 the SAME selection / values:
 
-  * :func:`golden_np`        <-> ops/loocv.py::_golden_core (masked batched
-    golden-section search; identical update trajectory at f64)
-  * :func:`loo_entropy_rows_np` <-> ops/kernels.py::batched_loo_entropy
-    (dense LOO entropy incl. the zero-likelihood guard,
-    reference src/DualTree01.jl:461-468)
   * :func:`ksize_host_np`    <-> the golden search stage of
-    ops/loocv.py::ksize_bandwidths (reference src/CrossValidation.jl:44-120)
+    ops/loocv.py::ksize_bandwidths (reference src/CrossValidation.jl:44-120);
+    its scalar golden search follows the identical per-element trajectory
+    as the device's masked batch search (_golden_core), and its shifted
+    LOO objective equals ops/kernels.py::batched_loo_entropy at f64
+    (verified against the f64 device search, tests/test_host_small.py)
   * :func:`log_eval_np` / :func:`log_eval_loo_np` <->
     ops/kernels.py::log_eval / log_eval_loo (reference evalDirect,
     src/DualTree01.jl:130-162, with the LOO 1/(1-w_j) rescale :333-336)
@@ -37,72 +36,6 @@ _C = (3.0 - np.sqrt(5.0)) / 2.0   # golden-section constants
 _R = 1.0 - _C                     # (reference src/CrossValidation.jl:51-52)
 
 LOG_2PI = float(np.log(2.0 * np.pi))
-
-
-def golden_np(f, ax, bx, cx, tol):
-    """Masked batched golden-section minimization, f64 NumPy.
-
-    Mirrors ops/loocv.py::_golden_core element-for-element (same bracket
-    updates, same stop rule, same iteration cap) so the selected minima
-    match the device search at f64.  ``f`` maps a batch vector ``x`` to
-    ``f(x)`` elementwise.
-    """
-    ax = np.asarray(ax, dtype=np.float64)
-    bx = np.asarray(bx, dtype=np.float64)
-    cx = np.asarray(cx, dtype=np.float64)
-    max_iters = int(np.ceil(np.log(max(tol, 1e-18)) / np.log(_R))) + 60
-    x0, x3 = ax.copy(), cx.copy()
-    wide_right = np.abs(cx - bx) > np.abs(bx - ax)
-    x1 = np.where(wide_right, bx, bx - _C * (bx - ax))
-    x2 = np.where(wide_right, bx + _C * (cx - bx), bx)
-    f1 = np.asarray(f(x1), dtype=np.float64)
-    f2 = np.asarray(f(x2), dtype=np.float64)
-    for _ in range(max_iters):
-        active = np.abs(x3 - x0) > tol * (np.abs(x1) + np.abs(x2))
-        if not np.any(active):
-            break
-        take2 = (f2 < f1) & active
-        take1 = (~take2) & active
-        nx0 = np.where(take2, x1, x0)
-        nx1 = np.where(take2, x2, x1)
-        nx2 = np.where(take2, _R * x2 + _C * x3, x2)
-        nx3 = np.where(take1, x2, x3)
-        nx2 = np.where(take1, x1, nx2)
-        nx1 = np.where(take1, _R * x1 + _C * x0, nx1)
-        probe = np.where(take2, nx2, nx1)
-        fp = np.asarray(f(probe), dtype=np.float64)
-        nf1 = np.where(take2, f2, np.where(take1, fp, f1))
-        nf2 = np.where(take2, fp, np.where(take1, f1, f2))
-        x0, x1, x2, x3, f1, f2 = nx0, nx1, nx2, nx3, nf1, nf2
-    xmin = np.where(f1 < f2, x1, x2)
-    fmin = np.minimum(f1, f2)
-    return xmin, fmin
-
-
-def loo_entropy_rows_np(rows: np.ndarray, var: np.ndarray,
-                        w: np.ndarray) -> np.ndarray:
-    """Entropies of ``R`` independent 1-D KDEs ``rows [R, N]`` with shared
-    weights ``w [N]`` and per-row variances ``var [R]`` -- the f64 twin of
-    ops/kernels.py::batched_loo_entropy (dense impl), including the
-    zero-likelihood guard (reference src/DualTree01.jl:461-468)."""
-    r, n = rows.shape
-    with np.errstate(divide="ignore"):                       # w==0 -> -inf,
-        logw = np.log(w)[None, None, :]                      # as on device
-    d2 = (rows[:, :, None] - rows[:, None, :]) ** 2          # [R, N, N]
-    quad = d2 / var[:, None, None] + np.log(var)[:, None, None]
-    logits = logw - 0.5 * quad
-    ii = np.arange(n)
-    logits[:, ii, ii] = -np.inf                              # LOO mask
-    lmax = np.max(logits, axis=2)                            # [R, N]
-    lmax_s = np.where(np.isfinite(lmax), lmax, 0.0)          # all--inf row
-    with np.errstate(divide="ignore"):                       # -> lse = -inf
-        lse = lmax + np.log(np.sum(np.exp(logits - lmax_s[:, :, None]),
-                                   axis=2))
-    logp = lse - 0.5 * LOG_2PI - np.log1p(-w)[None, :]
-    safe = np.where(w[None, :] > 0, logp, 0.0)
-    h = -np.sum(np.where(w[None, :] > 0, w[None, :] * safe, 0.0), axis=1)
-    bad = np.any(np.isneginf(logp) & (w[None, :] > 0), axis=1)
-    return np.where(bad, np.inf, h)
 
 
 def bracket_rows_np(rows: np.ndarray, lo: np.ndarray, hi: np.ndarray):
@@ -125,9 +58,9 @@ def bracket_rows_np(rows: np.ndarray, lo: np.ndarray, hi: np.ndarray):
 
 
 def _golden_scalar(f, ax, bx, cx, tol):
-    """Scalar golden-section search, same trajectory per element as
-    :func:`golden_np` / ops/loocv.py::_golden_core (masked batch updates
-    evolve each element exactly as the scalar algorithm would)."""
+    """Scalar golden-section search, same per-element trajectory as
+    ops/loocv.py::_golden_core (the masked batch updates evolve each
+    element exactly as this scalar algorithm would)."""
     max_iters = int(np.ceil(np.log(max(tol, 1e-18)) / np.log(_R))) + 60
     x0, x3 = ax, cx
     if abs(cx - bx) > abs(bx - ax):
@@ -153,9 +86,10 @@ def ksize_host_np(pts_nd: np.ndarray, w: np.ndarray,
     (brackets come from the caller's host ball trees; see
     ops/loocv.py::ksize_bandwidths).  Returns ``[d]`` std-dev bandwidths.
 
-    Computes the same entropies as :func:`loo_entropy_rows_np` (the device
-    twin) but restructured for the regime that matters here -- NumPy
-    op-count, not FLOPs, dominates an [N, N] probe:
+    Computes the same entropies as the device program
+    (ops/kernels.py::batched_loo_entropy) but restructured for the regime
+    that matters here -- NumPy op-count, not FLOPs, dominates an [N, N]
+    probe:
 
       * per dim, the LOO pairwise squared distances ``d2`` (diag = +inf)
         and the per-query nearest-neighbor shift ``dmin = min_j d2`` are

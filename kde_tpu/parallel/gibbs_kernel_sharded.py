@@ -327,7 +327,7 @@ def prod_appx_ms_gibbs_kernel_sharded(mesh: Mesh,
     has_chains = CHAINS in mesh.axis_names
     densities = list(densities)
     if dtype is None:
-        dtype = densities[0].points.dtype
+        dtype = densities[0].dtype      # property: no lazy device upload
     for p in densities:
         if not (manifolds.is_euclidean(p.addop, manifolds.euclid_add)
                 and manifolds.is_euclidean(p.diffop, manifolds.euclid_diff)

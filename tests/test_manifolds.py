@@ -100,6 +100,30 @@ def test_mul_mixed_hooks_raises():
         pa * pe
 
 
+def test_product_sampler_stays_on_manifold():
+    """ProductSampler (the serving path) flows density-attached hooks into
+    the engine like product() does -- no silent-Euclidean path."""
+    from kde_tpu.ops.gibbs import ProductSampler
+    rng = np.random.default_rng(4)
+    pa, pb = _circ_pair(rng)
+    s = ProductSampler([pa, pb], n_out=64, n_iter=5)
+    pts, _ = s.sample(jax.random.PRNGKey(0))
+    pts = np.asarray(pts)[0]
+    dist_to_pi = np.abs(_wrap(pts - np.pi))
+    assert np.median(dist_to_pi) < 0.5
+    assert np.mean(np.abs(pts) < 1.0) < 0.2
+
+
+def test_product_sampler_mixed_hooks_raises():
+    import pytest
+    from kde_tpu.ops.gibbs import ProductSampler
+    rng = np.random.default_rng(5)
+    pa, _ = _circ_pair(rng)
+    pe = kde(rng.normal(size=(1, 64)), [0.3])
+    with pytest.raises(ValueError, match="manifold hooks"):
+        ProductSampler([pa, pe], n_out=32)
+
+
 def test_batched_sampler_rejects_hooked_densities():
     import pytest
     from kde_tpu.ops.gibbs import BatchedProductSampler
