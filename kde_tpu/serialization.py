@@ -20,7 +20,28 @@ import numpy as np
 from .density import KDE, kde
 
 
+def _warn_hooks_dropped(p: KDE, fmt: str) -> None:
+    """Manifold hooks are Python callables and cannot ride either format
+    (the reference's string format has no hook field, StringSerialization.jl
+    :1-5); say so instead of silently flattening a circular density to
+    Euclidean -- the deserialized KDE must be re-attached via
+    ``kde(..., addop=..., diffop=..., get_mu=..., get_lambda=...)``."""
+    import warnings
+
+    from . import manifolds
+    if not (manifolds.is_euclidean(p.addop, manifolds.euclid_add)
+            and manifolds.is_euclidean(p.diffop, manifolds.euclid_diff)
+            and manifolds.is_euclidean(p.get_mu, manifolds.euclid_mu)
+            and manifolds.is_euclidean(p.get_lambda,
+                                       manifolds.euclid_lambda)):
+        warnings.warn(
+            f"{fmt} serialization drops the density's manifold hooks "
+            "(addop/diffop/get_mu/get_lambda are callables); re-attach "
+            "them when reconstructing", stacklevel=3)
+
+
 def to_string(p: KDE) -> str:
+    _warn_hooks_dropped(p, "string")
     pts = p.host_points()
     bw = p.host_bw_std()[:, 0]
     bw_s = "[" + ", ".join(repr(float(v)) for v in bw) + "]"
@@ -45,6 +66,7 @@ def from_string(s: str) -> KDE:
 
 
 def save_kde(path: str, p: KDE) -> None:
+    _warn_hooks_dropped(p, "npz")
     # prefer the retained host copies (cast to the device dtype): a
     # host-backed KDE checkpoints without any device upload or readback
     np_dtype = np.dtype(p.dtype.name)

@@ -133,6 +133,20 @@ def test_batched_sampler_rejects_hooked_densities():
         BatchedProductSampler([[pa, pb]], n_out=32)
 
 
+def test_serialization_warns_on_hooked_density(tmp_path):
+    """Hooks are callables and cannot ride the string/npz formats; saving
+    must warn instead of silently flattening to Euclidean."""
+    import warnings
+    from kde_tpu import save_kde, to_string
+    rng = np.random.default_rng(6)
+    pa, _ = _circ_pair(rng)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        to_string(pa)
+        save_kde(str(tmp_path / "p.npz"), pa)
+    assert sum("manifold hooks" in str(w.message) for w in rec) == 2
+
+
 def test_kernel_sharded_rejects_hooked_densities():
     import pytest
     from jax.sharding import Mesh
