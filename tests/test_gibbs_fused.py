@@ -125,6 +125,33 @@ def test_fused_identical_ragged_counts(force_fused):
     np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
 
 
+def test_fused_identical_zero_weight_kernels(force_fused):
+    # kernels with zero weight produce -inf log-weight entries INSIDE the
+    # valid level region (not just the lane padding) -- exercises the dead
+    # candidate handling and the degenerate-fallback predicate
+    rng = np.random.default_rng(8)
+    dens = []
+    for j in range(2):
+        n = 140
+        w = rng.uniform(size=n)
+        w[: n // 4] = 0.0                       # quarter of kernels dead
+        dens.append(kde(rng.normal(size=(2, n)) + j,
+                        np.full((2,), 0.35), weights=w))
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 100, jax.random.PRNGKey(8))
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_fused_identical_no_gibbs_sweeps(force_fused):
+    # n_iter=0: only the conditional re-selections run per level
+    rng = np.random.default_rng(9)
+    dens = _mk_densities(rng, 150, 2, 2)
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 80, jax.random.PRNGKey(9), n_iter=0)
+    assert np.array_equal(i0, i1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
 def test_fused_identical_device_plan(force_fused):
     # the device-built level hierarchy (ops/device_plan.py) feeds the same
     # lvl_arrays layout into the fused repacking; fused vs XLA must stay
