@@ -305,10 +305,14 @@ def _fused_k(offsets, n_levels: int, euclidean: bool) -> Tuple[int, int]:
     from .. import config
     if not euclidean or config.GIBBS_FUSED is False:
         return 0
-    if config.GIBBS_FUSED == "auto" and jax.default_backend() != "tpu":
-        return 0
-    from .gibbs_fused import fused_level_count
     w = int(config.GIBBS_FUSED_WIDTH)
+    if config.GIBBS_FUSED == "auto":
+        if jax.default_backend() != "tpu":
+            return 0
+        from .gibbs_fused import fused_self_check
+        if not fused_self_check(w):   # one-time probe; pure-XLA fallback
+            return 0
+    from .gibbs_fused import fused_level_count
     k = fused_level_count(offsets, n_levels, w)
     return (k, w) if k >= 3 else 0
 

@@ -219,3 +219,42 @@ def test_grouped_vmap_layout_only():
     want = jax.vmap(chain)(a, b)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_fused_self_check_failure_falls_back(monkeypatch):
+    # the "auto" gate probes the fused kernel once; a lowering/runtime
+    # failure disables the engine for the process instead of crashing the
+    # user's first product call
+    from kde_tpu.ops import gibbs_fused
+
+    monkeypatch.setattr(gibbs_fused, "_SELF_CHECK", {})
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed")
+    monkeypatch.setattr(gibbs_fused, "fused_upper_levels", boom)
+
+    old = config.GIBBS_FUSED
+    config.GIBBS_FUSED = "auto"
+    try:
+        offsets = ((0, 2), (2, 4), (6, 8), (14, 200))
+        assert _fused_k(offsets, 4, euclidean=True) == 0
+        assert gibbs_fused._SELF_CHECK == {128: False}   # cached: probe once
+        assert _fused_k(offsets, 4, euclidean=True) == 0
+    finally:
+        config.GIBBS_FUSED = old
+        gibbs_fused._SELF_CHECK.clear()
+
+
+def test_fused_self_check_passes_in_interpret(monkeypatch):
+    # the probe program itself is well-formed: run it through the same
+    # entry the gate uses, with the kernel in interpret mode
+    import functools
+    from kde_tpu.ops import gibbs_fused
+
+    monkeypatch.setattr(gibbs_fused, "_SELF_CHECK", {})
+    monkeypatch.setattr(
+        gibbs_fused, "fused_upper_levels",
+        functools.partial(gibbs_fused.fused_upper_levels, interpret=True))
+    assert gibbs_fused.fused_self_check(128) is True
+    gibbs_fused._SELF_CHECK.clear()
