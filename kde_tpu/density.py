@@ -68,6 +68,7 @@ class KDE:
         all_np = not (isinstance(points, jnp.ndarray)
                       or isinstance(bw, jnp.ndarray)
                       or isinstance(weights, jnp.ndarray))
+        explicit_dtype = dtype is not None
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
                      else jnp.float32)
@@ -86,9 +87,12 @@ class KDE:
             self._dev_weights = None
             n, d = self._host_points.shape
         else:
-            self._dev_points = jnp.asarray(points)   # [N, d]
-            self._dev_bw = jnp.asarray(bw)           # [N, d] variances
-            self._dev_weights = jnp.asarray(weights)  # [N], normalized
+            # an EXPLICIT dtype casts (a device op, no readback); otherwise
+            # device inputs keep their own dtype (never read back to decide)
+            cast = self._dtype if explicit_dtype else None
+            self._dev_points = jnp.asarray(points, dtype=cast)   # [N, d]
+            self._dev_bw = jnp.asarray(bw, dtype=cast)     # [N, d] variances
+            self._dev_weights = jnp.asarray(weights, dtype=cast)  # [N]
             self._dtype = self._dev_points.dtype
             np_dtype = np.dtype(self._dtype.name)
 

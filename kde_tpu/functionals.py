@@ -269,5 +269,11 @@ def evaluate_dual_tree(p: KDE, pos, lv_flag: bool = False,
     if isinstance(pos, KDE):
         if lv_flag or pos is p:
             return p.evaluate(None, lv_flag=True)
+        if pos._host_points is not None:
+            # host-backed query density: keep the query on host so a
+            # host-backed ``p`` stays on the size-gated f64 fast path
+            # (get_points() would lazily upload and force the device
+            # dispatch + eventual D2H fetch for a ~100-point evaluation)
+            return p.evaluate(pos.host_points())
         return p.evaluate(pos.get_points())
     return p.evaluate(pos, lv_flag=lv_flag, err_tol=err_tol)

@@ -41,6 +41,7 @@ zero likelihood (:311-315), and partial-dimension information zeroing
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from typing import List, Optional, Sequence, Tuple
 
@@ -305,16 +306,48 @@ def _fused_k(offsets, n_levels: int, euclidean: bool) -> Tuple[int, int]:
     from .. import config
     if not euclidean or config.GIBBS_FUSED is False:
         return 0
-    w = int(config.GIBBS_FUSED_WIDTH)
     if config.GIBBS_FUSED == "auto":
-        if jax.default_backend() != "tpu":
-            return 0
-        from .gibbs_fused import fused_self_check
-        if not fused_self_check(w):   # one-time probe; pure-XLA fallback
+        from . import gibbs_fused
+        if jax.default_backend() != "tpu" or gibbs_fused._FUSED_BROKEN:
             return 0
     from .gibbs_fused import fused_level_count
+    w = int(config.GIBBS_FUSED_WIDTH)
     k = fused_level_count(offsets, n_levels, w)
     return (k, w) if k >= 3 else 0
+
+
+def _run_with_fused_fallback(fn, *args, fused_k, **kwargs):
+    """Dispatch the jitted chain program; under the ``auto`` gate, a fused
+    region that fails to lower/compile disables the fused engine for the
+    process (warning) and the call retries on the pure-XLA engine.
+
+    Mosaic lowering and VMEM-budget errors surface synchronously at the
+    first call of each specialization (trace+compile are eager; only the
+    execution is async), so this catches exactly the configuration being
+    run -- no probe program, no extra device work, no device->host fetch
+    (the D2H cliff).  Failures unrelated to the fused region re-raise
+    unchanged (the retry fails too, and the original error propagates);
+    forced ``GIBBS_FUSED = True`` never falls back (tests).
+    """
+    from .. import config
+    if not fused_k or config.GIBBS_FUSED != "auto":
+        return fn(*args, fused_k=fused_k, **kwargs)
+    from . import gibbs_fused
+    if gibbs_fused._FUSED_BROKEN:   # samplers freeze fused_k at build time
+        return fn(*args, fused_k=0, **kwargs)
+    try:
+        return fn(*args, fused_k=fused_k, **kwargs)
+    except Exception as e:
+        try:
+            out = fn(*args, fused_k=0, **kwargs)
+        except Exception:
+            raise e                     # not the fused region's fault
+        gibbs_fused._FUSED_BROKEN = True
+        logging.getLogger("kde_tpu").warning(
+            "fused Gibbs engine failed to compile/launch (%s: %s); using "
+            "the pure-XLA engine for the rest of the process",
+            type(e).__name__, e)
+        return out
 
 
 def _grouped_vmap(chain, args, n_out: int):
@@ -647,7 +680,8 @@ def prod_appx_ms_gibbs(npd0,
         key = ensure_key(key)
         euclid = (addop_t is None and diffop_t is None
                   and get_mu_t is None and get_lambda_t is None)
-        pts_t, idx_t, labels_t = _gibbs_from_key(
+        pts_t, idx_t, labels_t = _run_with_fused_fallback(
+            _gibbs_from_key,
             key, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
             n_out=n_out, bu=bu, bn=bn, offsets=tuple(plan.offsets),
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
@@ -716,6 +750,30 @@ def _density_hooks(densities: Sequence[KDE]):
                     "hooks (the hooks describe the shared product space, "
                     "reference src/MSGibbs01.jl:672-675)")
         out.append(first)
+
+    # per-dimension cross-hook consistency: a wrapped addop/diffop with a
+    # Euclidean get_mu/get_lambda (or vice versa) would draw samples on the
+    # manifold but combine kernels with the EUCLIDEAN information-form mean
+    # -- e.g. circular kernels at +3.1 and -3.1 averaging to ~0, the wrong
+    # side of the wrap -- with no error.  The quadruple must agree per dim
+    # (attach all four, as examples/circular_fusion.py does, or call
+    # prod_appx_ms_gibbs with explicit hooks to override).
+    d = densities[0].ndim
+    bcast = [manifolds.broadcast_ops(h, d) if h is not None else
+             (default,) * d for h, (_, default) in zip(out, specs)]
+    for k in range(d):
+        wrapped = {attr: ops[k] is not default
+                   for ops, (attr, default) in zip(bcast, specs)}
+        if any(wrapped.values()) and not all(wrapped.values()):
+            have = [a for a, w in wrapped.items() if w]
+            missing = [a for a, w in wrapped.items() if not w]
+            raise ValueError(
+                f"dimension {k} carries non-Euclidean {have} but Euclidean "
+                f"{missing}: the product engine needs the full "
+                "addop/diffop/get_mu/get_lambda quadruple per manifold "
+                "dimension (a Euclidean product mean on a wrapped "
+                "dimension places mass on the wrong chart); attach all "
+                "four, or call prod_appx_ms_gibbs with explicit hooks")
     return tuple(out)
 
 
@@ -917,6 +975,12 @@ class BatchedProductSampler:
         self.bu = self.ndens * (1 + self.n_levels * (1 + self.n_iter))
         self.bn = self.ndim * (self.n_levels + 1)
         self._dtype_name = jnp.dtype(dtype).name
+        # engine choice frozen at build time (as ProductSampler).
+        # Set-sharded batches keep the pure-XLA engine: the partitioner
+        # treats pallas_call as an opaque custom call, so auto-sharding a
+        # vmapped kernel over the mesh axis is not reliably supported.
+        self._fused_k = (_fused_k(self.offsets, self.n_levels, True)
+                         if self.mesh is None else 0)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             axis = self.mesh.axis_names[0]
@@ -933,17 +997,14 @@ class BatchedProductSampler:
 
     def sample(self, key):
         """Returns (points [B, d, n_out], labels [B, ndens, n_out])."""
-        pts, idx, _ = _gibbs_batched_sets(
+        pts, idx, _ = _run_with_fused_fallback(
+            _gibbs_batched_sets,
             key, self.lvl_arrays, self.t_mean, self.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu,
             bn=self.bn, offsets=self.offsets, n_iter=self.n_iter,
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
             add_entropy=self.add_entropy, dtype=self._dtype_name,
-            # set-sharded batches keep the pure-XLA engine: the partitioner
-            # treats pallas_call as an opaque custom call, so auto-sharding
-            # a vmapped kernel over the mesh axis is not reliably supported
-            fused_k=(_fused_k(self.offsets, self.n_levels, True)
-                     if self.mesh is None else 0))
+            fused_k=self._fused_k)
         return pts, idx
 
 
@@ -982,14 +1043,18 @@ class ProductSampler:
         self.mask = jnp.asarray(self.mask_np)
         self.bu = dn * (1 + self.plan.n_levels * (1 + n_iter))
         self.bn = d * (self.plan.n_levels + 1)
+        # engine choice is frozen at build time (stable engine per sampler;
+        # A/B harnesses toggle config around construction, not per call)
+        euclid = all(h is None for h in self.hooks)
+        self._fused_k = _fused_k(tuple(self.plan.offsets),
+                                 self.plan.n_levels, euclid)
 
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
         p = self.plan
         addop, diffop, get_mu, get_lambda = self.hooks
-        euclid = (addop is None and diffop is None
-                  and get_mu is None and get_lambda is None)
-        pts_t, idx_t, _ = _gibbs_from_key(
+        pts_t, idx_t, _ = _run_with_fused_fallback(
+            _gibbs_from_key,
             key, p.lvl_arrays, p.t_mean, p.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu, bn=self.bn,
             offsets=tuple(p.offsets), n_iter=self.n_iter, ndens=p.ndens,
@@ -997,5 +1062,5 @@ class ProductSampler:
             get_mu=get_mu, get_lambda=get_lambda,
             add_entropy=self.add_entropy,
             dtype=jnp.dtype(self.dtype).name,
-            fused_k=_fused_k(tuple(p.offsets), p.n_levels, euclid))
+            fused_k=self._fused_k)
         return pts_t, idx_t

@@ -60,58 +60,15 @@ def fused_level_count(offsets, n_levels: int, width: int = FUSED_WIDTH) -> int:
     return min(k, n_levels)
 
 
-_SELF_CHECK: dict = {}
-
-
-def fused_self_check(W: int = FUSED_WIDTH) -> bool:
-    """One-time compile+run probe of the fused kernel on the default backend.
-
-    The fused path lowers through Mosaic inside the jitted product program;
-    a lowering/VMEM failure there would crash the *user's* first product
-    call.  The ``auto`` gate (ops/gibbs.py::_fused_k) therefore runs this
-    tiny-but-representative program (3 levels x full ``W`` lanes x 2
-    densities x 2 dims, 8 chains) once per process before routing anything
-    to the fused engine; any exception or non-finite output disables the
-    engine for the process (pure-XLA fallback) with a warning.  Forcing
-    ``config.GIBBS_FUSED = True`` bypasses the check (tests use that with
-    the CPU interpreter).
-    """
-    if W in _SELF_CHECK:
-        return _SELF_CHECK[W]
-    import logging
-
-    import numpy as np
-
-    K, dn, d, n_iter, n = 3, 2, 2, 1, 8
-    try:
-        f = jnp.float32
-        block = jnp.stack([jnp.linspace(-1.0, 1.0, W, dtype=f)] * d
-                          + [jnp.full((W,), 0.25, f)] * d)        # [2d, W]
-        ms = jnp.tile(block, (K, dn, 1))                          # [K, dn*2d, W]
-        logw = jnp.full((K, dn, W), -np.log(W), f)
-        perm = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (K, dn, W))
-        mask = jnp.ones((dn, d), bool)
-        t_mean = jnp.zeros((dn, 2, d), f)
-        t_bw = jnp.ones((dn, 2, d), f)
-        S = (1 + n_iter) * dn
-        u_k = jnp.linspace(0.05, 0.95, n * K * S, dtype=f).reshape(n, K * S)
-        nrm_k = jnp.zeros((n, K * d), f)
-        mu, var, lbl = fused_upper_levels(
-            u_k, nrm_k, ms, logw, perm, mask, t_mean, t_bw,
-            K=K, dn=dn, d=d, n_iter=n_iter, W=W)
-        ok = bool(np.all(np.isfinite(np.asarray(mu)))
-                  and np.all(np.isfinite(np.asarray(var))))
-        if not ok:
-            logging.getLogger("kde_tpu").warning(
-                "fused Gibbs engine self-check produced non-finite output; "
-                "using the pure-XLA engine")
-    except Exception as e:  # Mosaic lowering, VMEM, runtime -- all disable
-        logging.getLogger("kde_tpu").warning(
-            "fused Gibbs engine self-check failed (%s: %s); using the "
-            "pure-XLA engine", type(e).__name__, e)
-        ok = False
-    _SELF_CHECK[W] = ok
-    return ok
+# Set by ops/gibbs.py::_run_with_fused_fallback when a real product program
+# fails to lower/compile with the fused region but succeeds without it:
+# the ``auto`` gate then keeps every later call on the pure-XLA engine.
+# (Fallback-at-the-call-site, not a probe program: it covers the exact
+# (K, W, dn, d, n_iter, chain-block, vmapped-or-not) specialization being
+# compiled, runs nothing extra on the device, and never fetches -- a probe
+# would either miss real specializations or pay a device->host readback,
+# the documented D2H dispatch cliff.)
+_FUSED_BROKEN: bool = False
 
 
 def _kernel(act_ref, has_ref, maskv_ref,            # SMEM scalars

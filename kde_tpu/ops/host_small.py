@@ -92,15 +92,18 @@ def ksize_host_np(pts_nd: np.ndarray, w: np.ndarray,
     probe:
 
       * per dim, the LOO pairwise squared distances ``d2`` (diag = +inf)
-        and the per-query nearest-neighbor shift ``dmin = min_j d2`` are
-        precomputed ONCE (probe-independent);
+        and the per-query nearest *positive-weight* neighbor shift
+        ``dmin = min_{j: w_j>0} d2`` are precomputed ONCE
+        (probe-independent);
       * each probe is then 3 array ops -- ``P = exp(a*(d2 - dmin))``,
         ``pq = P @ w`` -- because shifting every query's logits by
-        ``a*dmin_q`` (its row maximum, up to the weight term) is exactly
-        the stable logsumexp shift: ``logp = log(pq) + a*dmin + const``.
-        The shifted nearest-neighbor term is exp(0)=1, so ``pq`` can never
-        underflow to 0 (same no--inf outcome as the device's max-shifted
-        logsumexp).
+        ``a*dmin_q`` (its row maximum among contributing kernels, up to
+        the weight term) is exactly the stable logsumexp shift:
+        ``logp = log(pq) + a*dmin + const``.  The shifted live
+        nearest-neighbor term is ``w*exp(0)``, so ``pq`` can't underflow
+        to 0 while any live kernel exists (same no--inf outcome as the
+        device's max-shifted logsumexp); zero-weight columns are forced to
+        ``exp -> 0`` so they can't overflow into ``inf*0``.
 
     Dims are searched by an independent scalar golden (identical per-dim
     trajectory to the masked batch search -- converged dims freeze there)."""
@@ -119,9 +122,16 @@ def ksize_host_np(pts_nd: np.ndarray, w: np.ndarray,
         x = rows[k]
         d2 = (x[:, None] - x[None, :]) ** 2
         d2[ii, ii] = np.inf                                  # LOO mask
-        dmin = np.min(d2, axis=1)                            # nearest nbr
-        dmin[~np.isfinite(dmin)] = 0.0                       # n==1 guard
-        D = d2 - dmin[:, None]                               # 0 at argmin
+        # nearest POSITIVE-WEIGHT neighbor: the shift must come from a
+        # kernel that actually contributes to pq, else a zero-weight
+        # nearest neighbor leaves pq free to underflow to 0 (-inf logp)
+        # where the device's weighted max-shift stays finite
+        dmin = np.min(np.where(w_pos[None, :], d2, np.inf), axis=1)
+        dmin[~np.isfinite(dmin)] = 0.0          # n==1 / no-live-nbr guard
+        D = d2 - dmin[:, None]                  # 0 at the live argmin
+        # dead kernels: exp -> 0 exactly (a closer zero-weight kernel
+        # would otherwise overflow exp and poison `buf @ w` with inf*0)
+        D[:, ~w_pos] = np.inf
         base_var = base_sd[k] ** 2
 
         def nloo(alpha):

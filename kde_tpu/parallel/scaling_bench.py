@@ -151,11 +151,22 @@ def run(total_chains: int = 4096, n_comp: int = 1000, n_iter: int = 5,
 
 
 if __name__ == "__main__":
-    # The container's sitecustomize force-pins JAX_PLATFORMS=axon; restore
-    # the env var's intended meaning (CLAUDE.md "Environment gotchas") so
-    # the documented virtual-CPU-mesh invocation actually lands on CPU.
-    _plat = os.environ.get("JAX_PLATFORMS")
-    if _plat:
-        import jax
-        jax.config.update("jax_platforms", _plat)
-    run(int(sys.argv[1]) if len(sys.argv) > 1 else 4096)
+    # `python -m kde_tpu.parallel.scaling_bench` imports the kde_tpu
+    # package (which can initialize the JAX backend) BEFORE this block, and
+    # the container's sitecustomize rewrites JAX_PLATFORMS=axon in every
+    # process -- an in-process override here is too late (CLAUDE.md
+    # "Environment gotchas").  Re-exec a child that updates jax_platforms
+    # before importing the package.  Platform: $KDE_SCALING_PLATFORM if
+    # set (e.g. "tpu" for a pod run), else "cpu" (the virtual-mesh
+    # format/harness run this artifact documents).
+    import subprocess
+    plat = os.environ.get("KDE_SCALING_PLATFORM", "cpu")
+    chains = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    code = (f"import jax; jax.config.update('jax_platforms', {plat!r}); "
+            f"from kde_tpu.parallel.scaling_bench import run; run({chains})")
+    env = dict(os.environ)
+    if plat == "cpu" and ("--xla_force_host_platform_device_count"
+                          not in env.get("XLA_FLAGS", "")):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+    raise SystemExit(subprocess.call([sys.executable, "-c", code], env=env))

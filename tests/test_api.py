@@ -80,3 +80,24 @@ def test_repr():
     p = kde(np.zeros((2, 5)), [0.1, 0.2])
     r = repr(p)
     assert "dims: 2" in r and "Npts: 5" in r
+
+
+def test_kde_explicit_dtype_casts_device_inputs():
+    """An explicit dtype= must be honored for device-array inputs too
+    (it used to be silently ignored whenever any input was a jnp array)."""
+    import jax.numpy as jnp
+    from kde_tpu.density import KDE
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(16, 2)),
+                      dtype=jnp.float32)
+    p = kde(pts.T, [0.5], dtype=jnp.float32)
+    assert p.dtype == jnp.float32
+    with jax.enable_x64(True):
+        var = jnp.full((16, 2), 0.25, jnp.float64)
+        w = jnp.full((16,), 1.0 / 16, jnp.float64)
+        q = KDE(jnp.asarray(pts, jnp.float64), var, w, dtype=jnp.float64)
+        assert q.dtype == jnp.float64 and q.points.dtype == jnp.float64
+        # explicit dtype casts mixed-precision inputs to one precision
+        r = KDE(jnp.asarray(pts, jnp.float32), var, w, dtype=jnp.float64)
+        assert r.points.dtype == jnp.float64
+        assert r.bw.dtype == jnp.float64
+        assert r.weights.dtype == jnp.float64

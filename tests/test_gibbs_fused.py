@@ -221,40 +221,74 @@ def test_grouped_vmap_layout_only():
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
 
 
-def test_fused_self_check_failure_falls_back(monkeypatch):
-    # the "auto" gate probes the fused kernel once; a lowering/runtime
-    # failure disables the engine for the process instead of crashing the
-    # user's first product call
+def test_fused_fallback_on_compile_failure(monkeypatch):
+    # under the "auto" gate, a fused region that fails to lower retries on
+    # the pure-XLA engine (and disables fused for the process) instead of
+    # crashing the user's first product call
     from kde_tpu.ops import gibbs_fused
+    from kde_tpu.ops.gibbs import _run_with_fused_fallback
 
-    monkeypatch.setattr(gibbs_fused, "_SELF_CHECK", {})
+    calls = []
+
+    def fn(x, *, fused_k):
+        calls.append(fused_k)
+        if fused_k:
+            raise RuntimeError("mosaic lowering failed")
+        return x + 1
+
+    monkeypatch.setattr(gibbs_fused, "_FUSED_BROKEN", False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-
-    def boom(*a, **k):
-        raise RuntimeError("mosaic lowering failed")
-    monkeypatch.setattr(gibbs_fused, "fused_upper_levels", boom)
-
     old = config.GIBBS_FUSED
     config.GIBBS_FUSED = "auto"
     try:
+        assert _run_with_fused_fallback(fn, 1, fused_k=(3, 128)) == 2
+        assert calls == [(3, 128), 0]
+        assert gibbs_fused._FUSED_BROKEN is True
+        # ... and the gate now routes everything to the pure-XLA engine
         offsets = ((0, 2), (2, 4), (6, 8), (14, 200))
         assert _fused_k(offsets, 4, euclidean=True) == 0
-        assert gibbs_fused._SELF_CHECK == {128: False}   # cached: probe once
-        assert _fused_k(offsets, 4, euclidean=True) == 0
+
+        # an error NOT caused by the fused region re-raises unchanged
+        gibbs_fused._FUSED_BROKEN = False
+
+        def bad(x, *, fused_k):
+            raise ValueError("user shape error")
+        with pytest.raises(ValueError, match="user shape error"):
+            _run_with_fused_fallback(bad, 1, fused_k=(3, 128))
+        assert gibbs_fused._FUSED_BROKEN is False
     finally:
         config.GIBBS_FUSED = old
-        gibbs_fused._SELF_CHECK.clear()
+        gibbs_fused._FUSED_BROKEN = False
 
 
-def test_fused_self_check_passes_in_interpret(monkeypatch):
-    # the probe program itself is well-formed: run it through the same
-    # entry the gate uses, with the kernel in interpret mode
-    import functools
-    from kde_tpu.ops import gibbs_fused
+def test_fused_forced_never_falls_back(force_fused):
+    # GIBBS_FUSED=True (tests, explicit opt-in) propagates failures
+    from kde_tpu.ops.gibbs import _run_with_fused_fallback
 
-    monkeypatch.setattr(gibbs_fused, "_SELF_CHECK", {})
-    monkeypatch.setattr(
-        gibbs_fused, "fused_upper_levels",
-        functools.partial(gibbs_fused.fused_upper_levels, interpret=True))
-    assert gibbs_fused.fused_self_check(128) is True
-    gibbs_fused._SELF_CHECK.clear()
+    def fn(x, *, fused_k):
+        raise RuntimeError("boom")
+    with pytest.raises(RuntimeError, match="boom"):
+        _run_with_fused_fallback(fn, 1, fused_k=(3, 128))
+
+
+def test_sampler_freezes_engine_at_build(monkeypatch):
+    # the engine choice is captured at construction: flipping the config
+    # afterwards must not change which program a sampler runs (A/B
+    # harnesses rely on this; tools/ab_fused.py)
+    rng = np.random.default_rng(11)
+    dens = _mk_densities(rng, 64, 2, 2)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    old = config.GIBBS_FUSED
+    try:
+        config.GIBBS_FUSED = False
+        s_xla = gibbs.ProductSampler(dens, n_out=32, n_iter=2)
+        config.GIBBS_FUSED = True
+        s_fused = gibbs.ProductSampler(dens, n_out=32, n_iter=2)
+        b_fused = gibbs.BatchedProductSampler([dens, dens], n_out=32,
+                                              n_iter=2)
+        config.GIBBS_FUSED = False
+    finally:
+        config.GIBBS_FUSED = old
+    assert s_xla._fused_k == 0
+    assert s_fused._fused_k and s_fused._fused_k[1] == 128
+    assert b_fused._fused_k == s_fused._fused_k

@@ -138,3 +138,39 @@ def test_repr_no_upload():
     p = kde(rng.normal(size=(1, 25)), [0.1])
     repr(p)
     assert p._dev_points is None and p._dev_bw is None
+
+
+def test_host_loocv_zero_weight_kernels_match_device():
+    """A ZERO-WEIGHT nearest neighbor must not underflow the host path's
+    shifted kernel sum: the shift comes from the nearest live kernel, so
+    the host golden search selects exactly what the f64 device search does
+    (clustered data + a far outlier stresses the shift)."""
+    rng = np.random.default_rng(13)
+    n = 96
+    x = np.concatenate([rng.normal(size=n - 1) * 0.01, [500.0]])
+    # pair every point with a dead twin slightly closer than any live nbr
+    pts = np.concatenate([x, x + 1e-6])[:, None]
+    w = np.concatenate([np.full(n, 1.0 / n), np.zeros(n)])
+    assert (2 * n) ** 2 <= config.HOST_LOOCV_LIMIT
+    bw_host = ksize_bandwidths(pts, w)
+    assert np.all(np.isfinite(bw_host))
+    with jax.enable_x64(True):
+        bw_dev = np.asarray(ksize_bandwidths_device(
+            jnp.asarray(pts, dtype=jnp.float64),
+            jnp.asarray(w, dtype=jnp.float64), dtype=jnp.float64))
+    np.testing.assert_allclose(bw_host, bw_dev, rtol=1e-9)
+
+
+def test_evaluate_dual_tree_host_backed_stays_host():
+    """evaluate_dual_tree(p, q) with two host-backed densities must route
+    through the f64 host fast path (a lazy get_points() upload would force
+    ~100-point evaluations onto the device dispatch path)."""
+    from kde_tpu.functionals import evaluate_dual_tree
+    rng = np.random.default_rng(21)
+    p = kde(rng.normal(size=(1, 80)), [0.3])
+    q = kde(rng.normal(size=(1, 60)), [0.3])
+    v = evaluate_dual_tree(p, q)
+    assert isinstance(v, np.ndarray)                   # host path result
+    assert p._dev_points is None and q._dev_points is None   # no uploads
+    np.testing.assert_allclose(
+        v, np.asarray(p(q.host_points())), rtol=1e-12)

@@ -159,3 +159,21 @@ def test_kernel_sharded_rejects_hooked_densities():
     with pytest.raises(ValueError, match="Euclidean"):
         prod_appx_ms_gibbs_kernel_sharded(
             mesh, 32, [pa, pb], key=jax.random.PRNGKey(0))
+
+
+def test_mul_partial_hooks_raises():
+    """Circular addop/diffop WITHOUT circular get_mu/get_lambda would draw
+    on the manifold but combine kernels with the Euclidean information-form
+    mean (kernels at +3.1 and -3.1 averaging to ~0 -- the wrong side of the
+    wrap).  The density-attached product surface raises per dimension."""
+    import pytest
+    from kde_tpu import ProductSampler
+    rng = np.random.default_rng(7)
+    mk = lambda: kde(rng.normal(size=(1, 64)) * 0.2, [0.1],
+                     addop=(manifolds.circular_add,),
+                     diffop=(manifolds.circular_diff,))
+    pa, pb = mk(), mk()
+    with pytest.raises(ValueError, match="quadruple"):
+        pa * pb
+    with pytest.raises(ValueError, match="quadruple"):
+        ProductSampler([pa, pb], n_out=32)
