@@ -292,3 +292,38 @@ def test_sampler_freezes_engine_at_build(monkeypatch):
     assert s_xla._fused_k == 0
     assert s_fused._fused_k and s_fused._fused_k[1] == 128
     assert b_fused._fused_k == s_fused._fused_k
+
+
+def test_fused_fallback_end_to_end(monkeypatch):
+    # wire check: a fused region that raises at trace/compile time inside
+    # the real jitted product program still yields a correct product (the
+    # pure-XLA retry), marks the engine broken, and later samplers skip it
+    from kde_tpu.ops import gibbs_fused
+
+    monkeypatch.setattr(gibbs_fused, "_FUSED_BROKEN", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed")
+    monkeypatch.setattr(gibbs_fused, "fused_upper_levels", boom)
+
+    rng = np.random.default_rng(12)
+    dens = _mk_densities(rng, 96, 2, 2)
+    old = config.GIBBS_FUSED
+    config.GIBBS_FUSED = "auto"
+    try:
+        key = jax.random.PRNGKey(12)
+        pts, idx = gibbs.prod_appx_ms_gibbs(64, dens, n_iter=2, key=key)
+        assert np.all(np.isfinite(np.asarray(pts)))
+        assert gibbs_fused._FUSED_BROKEN is True
+        # equal to an explicit pure-XLA run with the same key
+        config.GIBBS_FUSED = False
+        p0, i0 = gibbs.prod_appx_ms_gibbs(64, dens, n_iter=2, key=key)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(i0))
+        # batched sampler built after the failure freezes fused_k=0
+        config.GIBBS_FUSED = "auto"
+        assert gibbs.BatchedProductSampler([dens], n_out=32,
+                                           n_iter=2)._fused_k == 0
+    finally:
+        config.GIBBS_FUSED = old
+        gibbs_fused._FUSED_BROKEN = False
