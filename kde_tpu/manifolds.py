@@ -59,11 +59,20 @@ def circular_lambda(lambdas, axis=-1):
 
 
 def circular_mu(mus, lambdas, scale, axis=-1):
-    """Information-weighted mean of angles: differences are taken relative to
-    the first component so the average stays on the correct side of the wrap
-    (the reference leaves getMu pluggable for exactly this,
-    src/MSGibbs01.jl:152-161)."""
-    ref = jnp.take(mus, 0, axis=axis)
+    """Information-weighted mean of angles: differences are taken relative
+    to the highest-information component so the average stays on the
+    correct side of the wrap (the reference leaves getMu pluggable for
+    exactly this, src/MSGibbs01.jl:152-161).
+
+    The anchor must be a CONTRIBUTING component: during an LOO Gibbs sweep
+    the skipped density's column carries lambda = 0, and anchoring at it
+    (e.g. a stale selection near 0 while the live kernels sit at
+    +/-(pi - 0.05)) would wrap the live differences to opposite signs and
+    put the product mean at 0 instead of pi.  argmax(lambda) is always a
+    live component when any exists (lambdas are >= 0)."""
+    anchor = jnp.argmax(lambdas, axis=axis)
+    ref = jnp.take_along_axis(mus, jnp.expand_dims(anchor, axis),
+                              axis=axis).squeeze(axis)
     d = circular_diff(mus, jnp.expand_dims(ref, axis))
     return circular_add(ref, scale * jnp.sum(d * lambdas, axis=axis))
 
@@ -72,13 +81,21 @@ def circular_mu(mus, lambdas, scale, axis=-1):
 
 def broadcast_ops(ops, ndim: int) -> Tuple[Callable, ...]:
     """Broadcast a length-1 op tuple to ``ndim`` dims (reference idiom at
-    src/KDE01.jl:10-11 and src/MSGibbs01.jl:672-675)."""
+    src/KDE01.jl:10-11 and src/MSGibbs01.jl:672-675).  Any other length
+    mismatch raises -- silently replicating ``ops[0]`` would discard the
+    user's remaining per-dimension operators (an off-by-one hook tuple
+    must not turn a Euclidean dimension circular)."""
     if ops is None:
         return None
     ops = tuple(ops) if isinstance(ops, (tuple, list)) else (ops,)
-    if len(ops) != ndim:
-        ops = tuple(ops[0] for _ in range(ndim))
-    return ops
+    if len(ops) == ndim:
+        return ops
+    if len(ops) != 1:
+        raise ValueError(
+            f"manifold op tuple has {len(ops)} entries for {ndim} "
+            "dimensions; pass one per dimension or a length-1 tuple to "
+            "broadcast")
+    return ops * ndim
 
 
 def is_euclidean(ops, default) -> bool:

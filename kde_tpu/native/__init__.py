@@ -42,7 +42,15 @@ def get_lib():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) and not _compile():
+        src = os.path.join(_DIR, "balltree.cpp")
+        stale = (os.path.exists(_SO) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO))
+        # recompile when the source is newer than the .so: the bit-identity
+        # invariant (CLAUDE.md) requires paired edits to balltree.cpp and
+        # ops/balltree.py, and a stale binary would silently shadow the
+        # C++ side of such an edit (on failure, fall back to Python rather
+        # than load the stale binary)
+        if (not os.path.exists(_SO) or stale) and not _compile():
             _failed = True
             return None
         try:

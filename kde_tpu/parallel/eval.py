@@ -24,21 +24,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.kernels import LOG_2PI
+from ..ops.kernels import LOG_2PI, pairwise_quad
 from .mesh import CHAINS, KERNELS
 
-
-def _local_quad(q, means, var):
-    inv = 1.0 / var
-    # precision="highest": default MXU precision computes f32 matmuls via
-    # bf16 passes, and this expansion amplifies the product rounding into
-    # O(1) absolute quad error (see ops/kernels.py::pairwise_quad)
-    a = jnp.dot(q * q, inv.T, preferred_element_type=q.dtype,
-                precision="highest")
-    b = jnp.dot(q, (means * inv).T, preferred_element_type=q.dtype,
-                precision="highest")
-    c = jnp.sum(means * means * inv, axis=1) + jnp.sum(jnp.log(var), axis=1)
-    return a - 2.0 * b + c[None, :]
+# the per-shard quadratic form is ops/kernels.py::pairwise_quad itself
+# (single authority for the 3-matmul decomposition and its
+# precision="highest" MXU fix); the collectives around it are the only
+# sharded-specific code
+_local_quad = pairwise_quad
 
 
 def sharded_log_eval(mesh: Mesh,

@@ -44,9 +44,17 @@ def prod_appx_ms_gibbs_sharded(mesh: Mesh,
     Returns ``(points [d, n_out], indices [ndens, n_out])`` and, with
     ``diagnostics``, a dict of cross-device moment reductions.
     """
+    densities = list(densities)
     if dtype is None:
-        dtype = densities[0].points.dtype
-    plan = _g._get_plan(list(densities), n_out, dtype)
+        dtype = densities[0].dtype      # property: no lazy device upload
+    # density-attached manifold hooks flow exactly as product() does (same
+    # per-dim quadruple consistency rule; the chain kernel applies them
+    # elementwise, which shards over chains unchanged)
+    addop, diffop, get_mu, get_lambda = _g._density_hooks(densities)
+    # device-resident densities (e.g. a previous product's output) take the
+    # device-built plan -- the host builder would read their points back
+    impl = _g._resolve_plan_impl(densities, "auto", replay=False)
+    plan = _g._get_plan(densities, n_out, dtype, impl)
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
     if partial_dim_mask is None:
@@ -71,7 +79,7 @@ def prod_appx_ms_gibbs_sharded(mesh: Mesh,
         u, n_, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
         offsets=tuple(plan.offsets),
         n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
-        addop=None, diffop=None, get_mu=None, get_lambda=None,
+        addop=addop, diffop=diffop, get_mu=get_mu, get_lambda=get_lambda,
         add_entropy=add_entropy)
 
     out = (pts[:n_out].T, idx[:n_out].T)
@@ -87,11 +95,15 @@ def prod_appx_ms_gibbs_sharded(mesh: Mesh,
 
 def product_sharded(mesh: Mesh, densities: Sequence[KDE], n_iter: int = 5,
                     key=None) -> KDE:
-    """Sharded ``*`` operator: Gibbs product + LOOCV refit."""
+    """Sharded ``*`` operator: Gibbs product + LOOCV refit.
+
+    The samples stay on device end-to-end (the refit runs the device LOOCV
+    path, as the single-device ``product()`` does): an ``np.asarray`` here
+    would be the documented process-wide dispatch-degrading readback."""
     n_out = int(round(float(np.mean([p.npts for p in densities]))))
     pts, _ = prod_appx_ms_gibbs_sharded(mesh, n_out, densities,
                                         n_iter=n_iter, key=key)
-    return kde(np.asarray(pts))
+    return kde(pts)
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,

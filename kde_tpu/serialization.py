@@ -43,7 +43,17 @@ def _warn_hooks_dropped(p: KDE, fmt: str) -> None:
 def to_string(p: KDE) -> str:
     _warn_hooks_dropped(p, "string")
     pts = p.host_points()
-    bw = p.host_bw_std()[:, 0]
+    bw_all = p.host_bw_std()
+    if p.multibandwidth or not np.allclose(bw_all, bw_all[:, :1]):
+        # the reference format carries ONE bandwidth per dimension
+        # (src/StringSerialization.jl:1-5, TODO "only supports single
+        # bandwidth"); round-tripping a per-kernel-bandwidth density
+        # through it would silently assign kernel 0's bandwidth to all
+        warnings.warn(
+            "string serialization keeps only the first kernel's bandwidth "
+            "per dimension (reference format limitation); use save_kde "
+            "(npz) for multibandwidth densities", stacklevel=2)
+    bw = bw_all[:, 0]
     bw_s = "[" + ", ".join(repr(float(v)) for v in bw) + "]"
     rows = "; ".join(" ".join(repr(float(v)) for v in row) for row in pts)
     return f"KDE:{pts.shape[1]}:{bw_s}:[{rows}]"

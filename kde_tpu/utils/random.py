@@ -15,11 +15,16 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-_state = {"key": jax.random.PRNGKey(0), "host": np.random.default_rng(0)}
+# the device key is created LAZILY (on the first ensure_key(None)): a
+# module-level PRNGKey would make a plain `import kde_tpu` dispatch to the
+# JAX backend, which on a dead axon tunnel blocks silently at 0% CPU even
+# for purely host-side flows (serialization, host_small fast paths)
+_state = {"seed": 0, "key": None, "host": np.random.default_rng(0)}
 
 
 def set_seed(seed: int) -> None:
-    _state["key"] = jax.random.PRNGKey(seed)
+    _state["seed"] = int(seed)
+    _state["key"] = None                       # realized on next device use
     _state["host"] = np.random.default_rng(seed)
 
 
@@ -28,6 +33,8 @@ def ensure_key(key=None):
         return jax.random.PRNGKey(int(key))
     if key is not None:
         return key
+    if _state["key"] is None:
+        _state["key"] = jax.random.PRNGKey(_state["seed"])
     _state["key"], sub = jax.random.split(_state["key"])
     return sub
 

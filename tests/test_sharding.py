@@ -113,3 +113,50 @@ def test_ksize_bandwidths_sharded_matches_dense():
     mesh1 = Mesh(np.array(jax.devices()[:8]), (KERNELS,))
     got1 = np.asarray(ksize_bandwidths_sharded(mesh1, pts, w))
     np.testing.assert_allclose(got1, dense, rtol=1e-8)
+
+
+def test_sharded_product_circular_hooks(devices_ok):
+    """Density-attached manifold hooks flow through the chain-sharded
+    product exactly as through product(): same streams -> identical labels
+    and points as the unsharded engine with explicit hooks (the sharded
+    entry point used to silently sample Euclidean)."""
+    from kde_tpu import manifolds
+    circ = dict(addop=(manifolds.circular_add,),
+                diffop=(manifolds.circular_diff,),
+                get_mu=(manifolds.circular_mu,),
+                get_lambda=(manifolds.circular_lambda,))
+    rng = np.random.default_rng(5)
+    th_a = np.mod(rng.normal(size=(1, 64)) * 0.3 + np.pi - 0.15 + np.pi,
+                  2 * np.pi) - np.pi       # cluster straddling the wrap
+    th_b = np.mod(rng.normal(size=(1, 64)) * 0.3 - np.pi + 0.15 + np.pi,
+                  2 * np.pi) - np.pi
+    dens = [kde(th_a, [0.2], **circ), kde(th_b, [0.2], **circ)]
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(9)
+    pts_s, idx_s = prod_appx_ms_gibbs_sharded(mesh, 64, dens, n_iter=3,
+                                              key=key)
+    ku, kn = jax.random.split(key)
+    n_levels = int(np.floor(np.log2(64))) + 1
+    bu = 2 * (1 + n_levels * (1 + 3))
+    bn = 1 * (n_levels + 1)
+    u = np.asarray(jax.random.uniform(ku, (64, bu), dtype=jnp.float64))
+    n_ = np.asarray(jax.random.normal(kn, (64, bn), dtype=jnp.float64))
+    pts_u, idx_u = prod_appx_ms_gibbs(
+        64, dens, n_iter=3, rand_u=u, rand_n=n_,
+        addop=circ["addop"], diffop=circ["diffop"],
+        get_mu=circ["get_mu"], get_lambda=circ["get_lambda"])
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_u))
+    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_u),
+                               rtol=1e-12)
+    assert np.all(np.abs(np.asarray(pts_s)) <= np.pi)   # wrapped domain
+
+
+def test_product_sharded_stays_device_resident(devices_ok):
+    from kde_tpu.parallel.product import product_sharded
+    rng = np.random.default_rng(6)
+    dens = [kde(jnp.asarray(rng.normal(size=(2, 64))), [0.4]),
+            kde(jnp.asarray(rng.normal(size=(2, 64))), [0.4])]
+    mesh = make_mesh(8)
+    pq = product_sharded(mesh, dens, key=jax.random.PRNGKey(1))
+    assert pq._host_points is None and pq._tree is None   # no readbacks
+    assert pq.npts == 64
