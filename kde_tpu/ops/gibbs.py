@@ -248,10 +248,39 @@ def _kernel_logits_raw(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
     return jnp.where(jnp.isnan(logits), -jnp.inf, logits)
 
 
+# log(1e-99): the reference's degenerate-likelihood threshold
+# (src/MSGibbs01.jl:311, `cmo.pT < 1e-99`)
+_LOG_DEAD = float(np.log(1e-99))
+
+
+def _dead_predicate(logits):
+    """True iff ``sum(exp(logits)) < 1e-99`` -- the log-space equivalent of
+    the reference's linear-f64 degenerate test (src/MSGibbs01.jl:311).
+
+    The reference sums the candidate likelihoods in linear f64, where
+    individual terms can underflow at ~exp(-745); since that underflow only
+    occurs far below the 1e-99 (~exp(-228)) threshold, the linear test and
+    this log-sum-exp test agree everywhere except rounding exactly AT the
+    boundary.  Computed with the safe shift so an all--inf row (every
+    candidate NaN-suppressed or padded) yields lse = -inf -> dead, matching
+    the previous all--inf predicate as a special case.  The predicate fires
+    for *finite but tiny* totals too -- e.g. two far-apart densities, where
+    the reference falls back to a uniform draw while a max-shifted softmax
+    would near-deterministically pick the closest kernel (replay-parity
+    corner, tests/test_replay_parity.py)."""
+    m = jnp.max(logits)
+    ms = jnp.where(jnp.isneginf(m), 0.0, m)
+    lse = ms + jnp.log(jnp.sum(jnp.exp(logits - ms)))
+    return lse < _LOG_DEAD
+
+
 def _apply_dead_fallback(logits, lvl_logw_j, dead):
-    """Degenerate fallback: when every candidate has zero likelihood, draw
-    from the (uniform-per-valid-node) weights alone (reference
-    src/MSGibbs01.jl:311-315).  ``dead`` is the all-candidates predicate."""
+    """Degenerate fallback: when the candidate likelihood total is below the
+    reference threshold, draw uniformly over the real candidate nodes
+    (reference src/MSGibbs01.jl:311-315 sets every candidate's p to the
+    same constant; zero-weight nodes participate -- their lvl_logw is the
+    1e-300-clamped finite value -- while -inf marks lane PADDING only).
+    ``dead`` is :func:`_dead_predicate` of the raw logits."""
     return jnp.where(dead, jnp.where(jnp.isneginf(lvl_logw_j), -jnp.inf, 0.0),
                      logits)
 
@@ -266,8 +295,7 @@ def _kernel_logits(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov, active_dim,
     """
     logits = _kernel_logits_raw(lvl_mean_j, lvl_bw_j, lvl_logw_j, mu, cov,
                                 active_dim, diffop, with_cov)
-    dead = jnp.all(jnp.isneginf(logits) | jnp.isneginf(lvl_logw_j))
-    return _apply_dead_fallback(logits, lvl_logw_j, dead)
+    return _apply_dead_fallback(logits, lvl_logw_j, _dead_predicate(logits))
 
 
 def _select_label(u, logits):

@@ -37,8 +37,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# log(1e-99): the reference's degenerate-likelihood threshold -- the SAME
+# expression as ops/gibbs.py::_LOG_DEAD (bit-identity invariant)
+LOG_DEAD = float(np.log(1e-99))
 
 # Padded candidate width of the fused region.  128 = one VPU lane row; the
 # levels it covers (width 2..128) are exactly the latency-bound ones.  Wider
@@ -118,9 +123,15 @@ def _kernel(act_ref, has_ref, maskv_ref,            # SMEM scalars
             acc = acc + pd
         logits = logw_row - 0.5 * acc
         logits = jnp.where(jnp.isnan(logits), neg_inf, logits)
-        dead_w = logw_row == neg_inf                                 # [1,W]
-        dead = jnp.all((logits == neg_inf) | dead_w, axis=1,
-                       keepdims=True)                                # [C,1]
+        # degenerate predicate: sum(exp(logits)) < 1e-99, computed as a
+        # safe-shifted row logsumexp -- EXACTLY the chain program's
+        # _dead_predicate (ops/gibbs.py; reference src/MSGibbs01.jl:311)
+        m0 = jnp.max(logits, axis=1, keepdims=True)                  # [C,1]
+        ms0 = jnp.where(m0 == neg_inf, 0.0, m0)
+        lse = ms0 + jnp.log(jnp.sum(jnp.exp(logits - ms0), axis=1,
+                                    keepdims=True))
+        dead = lse < jnp.asarray(LOG_DEAD, f)
+        dead_w = logw_row == neg_inf                # lane PADDING only [1,W]
         logits = jnp.where(dead, jnp.where(dead_w, neg_inf, 0.0), logits)
         # normalize-then-cumsum, count-below draw (gibbs.py::_select_label)
         m = jnp.max(logits, axis=1, keepdims=True)

@@ -165,9 +165,14 @@ def _select_sharded(u, logits, lvl_logw_j, n_shards):
     into (gathered shard offsets + local cumsum); the final index is an
     integer ``psum`` of strictly-below counts (exact)."""
     w_loc = logits.shape[0]
-    # global degenerate predicate (reference src/MSGibbs01.jl:311-315)
-    dead_loc = jnp.all(jnp.isneginf(logits) | jnp.isneginf(lvl_logw_j))
-    dead = lax.psum(dead_loc.astype(jnp.int32), KERNELS) == n_shards
+    # global degenerate predicate: sum(exp(logits)) < 1e-99 across ALL
+    # shards -- _g._dead_predicate decomposed as (pmax global max) +
+    # (psum of shard exp-sums), exact up to fp summation order
+    # (reference src/MSGibbs01.jl:311-315)
+    m0 = lax.pmax(jnp.max(logits), KERNELS)
+    ms0 = jnp.where(jnp.isneginf(m0), 0.0, m0)
+    lse = ms0 + jnp.log(lax.psum(jnp.sum(jnp.exp(logits - ms0)), KERNELS))
+    dead = lse < _g._LOG_DEAD
     logits = _g._apply_dead_fallback(logits, lvl_logw_j, dead)
 
     gmax = lax.pmax(jnp.max(logits), KERNELS)

@@ -115,6 +115,12 @@ def serial_gibbs_product(trees: Sequence[FlatBallTree],
             p[z] = 0.0 if np.isnan(val) else val
         tot = p.sum()
         if tot < 1e-99:
+            # reference :311-315 assigns every candidate the LAST node's
+            # weight -- a constant, i.e. the uniform distribution after
+            # normalization (1.0 here).  (When that last weight is 0 the
+            # reference's CDF degenerates to all-zeros -- a quirk not
+            # replicated; the engines treat the fallback as uniform over
+            # real candidates always.)
             p[:] = 1.0
             tot = p.sum()
         return p / tot

@@ -327,3 +327,16 @@ def test_fused_fallback_end_to_end(monkeypatch):
     finally:
         config.GIBBS_FUSED = old
         gibbs_fused._FUSED_BROKEN = False
+
+
+def test_fused_identical_degenerate_far_apart(force_fused):
+    # the degenerate fallback (sum(exp(logits)) < 1e-99 -> uniform) fires
+    # at every selection for far-apart densities; the fused kernel's
+    # row-wise lse predicate must match the chain program's bit for bit
+    rng = np.random.default_rng(14)
+    dens = [kde(rng.normal(size=(1, 150)), np.full((1,), 0.1)),
+            kde(rng.normal(size=(1, 150)) + 100.0, np.full((1,), 0.1))]
+    p0, i0, l0, p1, i1, l1 = _ab(dens, 100, jax.random.PRNGKey(14))
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(p0, p1, rtol=0, atol=0)

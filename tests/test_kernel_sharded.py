@@ -131,3 +131,23 @@ def test_kernel_sharded_exact_ties():
     np.testing.assert_array_equal(np.asarray(lab_k), lab_s)
     np.testing.assert_allclose(np.asarray(pts_k), pts_s, rtol=1e-9,
                                atol=1e-12)
+
+
+def test_kernel_sharded_degenerate_far_apart():
+    """Far-apart densities: the globally-reduced degenerate predicate
+    (pmax + psum logsumexp < log 1e-99) must fire on every shard exactly
+    as the serial oracle's linear-space total does."""
+    rng = np.random.default_rng(37)
+    d, n, n_out, n_iter = 1, 64, 8, 2
+    dens = [kde(rng.normal(size=(d, n)), [0.1]),
+            kde(rng.normal(size=(d, n)) + 100.0, [0.1])]
+    ru, rn = _streams(rng, 2, d, n_out, n_iter, max(n, n_out))
+    pts_s, idx_s, lab_s = serial_gibbs_product(
+        [p.tree for p in dens], n_out, n_iter, ru, rn)
+    pts_k, idx_k, lab_k = prod_appx_ms_gibbs_kernel_sharded(
+        _kmesh(8), n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn,
+        record_labels=True)
+    np.testing.assert_array_equal(np.asarray(idx_k), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_k), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_k), pts_s, rtol=1e-9,
+                               atol=1e-12)

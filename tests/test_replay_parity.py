@@ -160,3 +160,47 @@ def test_replay_parity_randomized_grid():
         np.testing.assert_array_equal(np.asarray(iv), is_,
                                       err_msg=f"trial {trial}")
         np.testing.assert_allclose(np.asarray(pv), ps, rtol=1e-9, atol=1e-12)
+
+
+def test_replay_parity_degenerate_far_apart():
+    """Two densities ~100 bandwidths apart: every cross-density kernel
+    likelihood underflows the reference's 1e-99 total (linear f64), so the
+    serial oracle's degenerate fallback (uniform draw) fires at every
+    selection.  The engine's log-space predicate (sum(exp(logits)) < 1e-99,
+    ops/gibbs.py::_dead_predicate) must fire identically -- an all--inf
+    predicate would instead softmax the finite ~-5e4 logits and
+    near-deterministically pick the closest kernel, silently diverging from
+    the reference in exactly this corner."""
+    rng = np.random.default_rng(31)
+    d, n, n_out, n_iter = 1, 16, 10, 2
+    dens = [kde(rng.normal(size=(d, n)), [0.1]),
+            kde(rng.normal(size=(d, n)) + 100.0, [0.1])]
+    ru, rn, _ = _streams(rng, 2, d, n_out, n_iter, max(n, n_out))
+
+    pts_s, idx_s, lab_s = serial_gibbs_product(
+        [p.tree for p in dens], n_out, n_iter, ru, rn)
+    pts_v, idx_v, lab_v = prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn, record_labels=True)
+
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_v), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_replay_parity_marginal_overlap():
+    """Intermediate regime: kernel likelihoods small but ABOVE the 1e-99
+    threshold (densities ~15 bandwidths apart, logits ~ -100): the fallback
+    must NOT fire, and the max-shifted CDF must still match the oracle's
+    linear-space normalization exactly."""
+    rng = np.random.default_rng(33)
+    d, n, n_out, n_iter = 1, 12, 8, 2
+    dens = [kde(rng.normal(size=(d, n)) * 0.3, [1.0]),
+            kde(rng.normal(size=(d, n)) * 0.3 + 15.0, [1.0])]
+    ru, rn, _ = _streams(rng, 2, d, n_out, n_iter, max(n, n_out))
+    pts_s, idx_s, lab_s = serial_gibbs_product(
+        [p.tree for p in dens], n_out, n_iter, ru, rn)
+    pts_v, idx_v, lab_v = prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn, record_labels=True)
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_v), lab_s)
