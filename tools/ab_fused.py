@@ -184,3 +184,8 @@ for r in range(6):
           flush=True)
 print("\nEND-TO-END `*` (ms): " +
       "  ".join(f"{k}={v*1e3:.1f}" for k, v in sbest.items()))
+
+from kde_tpu.ops import gibbs_fused
+print("fused_k per sampler:",
+      {k: getattr(s, "_fused_k", "?") for k, s in samplers.items() if s})
+print("fused fallback fired:", gibbs_fused._FUSED_BROKEN)
