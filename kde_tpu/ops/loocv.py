@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .balltree import build_balltree, neighbor_min_max
 from .kernels import batched_loo_entropy
 
 _C = (3.0 - np.sqrt(5.0)) / 2.0   # golden-section constants
@@ -132,16 +131,15 @@ def ksize_bandwidths(points: np.ndarray,
             np.ascontiguousarray(pts.T), lo_s, hi_s)
         return ksize_host_np(pts, w, base, ax, bx, cx, float(tol))
 
-    # bracket per dim from the 1-D marginal tree geometry
-    minm = np.empty(d)
-    maxm = np.empty(d)
-    for i in range(d):
-        tree = build_balltree(pts[:, i:i + 1], w)
-        minm[i], maxm[i] = neighbor_min_max(tree)
-    base = (minm + maxm) / 2.0                       # starting std bandwidth
-    ax = 2.0 * minm / (minm + maxm)
-    bx = np.ones(d)
-    cx = 2.0 * maxm / (minm + maxm)
+    # bracket per dim: the sort-based neighborMinMax (exactly the 1-D
+    # marginal tree's extents, see _internal_slices) -- the same bracket
+    # authority as the host fast path above; the previous per-dim host
+    # ball-tree builds were O(N log N) serial work each on exactly the
+    # large-N path where they hurt
+    from .host_small import bracket_rows_np
+    lo_s, hi_s = _internal_slices(n)
+    base, ax, bx, cx = bracket_rows_np(np.ascontiguousarray(pts.T),
+                                       lo_s, hi_s)
 
     pts_t = jnp.asarray(pts.T, dtype=dtype)          # [d, N]
     base_var = jnp.asarray(base ** 2, dtype=dtype)
@@ -151,9 +149,11 @@ def ksize_bandwidths(points: np.ndarray,
     # [d, N, N] logits: stream component tiles through VMEM on TPU (Pallas
     # flash-style evaluator), or lax.map query chunks elsewhere
     # (VERDICT r1 #2 -- joins the tiled evaluator to the golden search).
+    # Routing uses the REALIZED dtype (jnp canonicalizes f64 requests to
+    # f32 when x64 is off -- those arrays do qualify for the Pallas path).
     xmin = _ksize_search(pts_t, base_var, w_j, jnp.asarray(ax),
                          jnp.asarray(bx), jnp.asarray(cx), tol=float(tol),
-                         impl=select_loo_impl(n, dtype),
+                         impl=select_loo_impl(n, pts_t.dtype),
                          chunk=int(config.LOOCV_CHUNK))
     return np.asarray(xmin) * base                   # std-dev bandwidths
 
@@ -305,24 +305,35 @@ def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
                          "(reference src/CrossValidation.jl:10)")
     from .kernels import entropy_kernel
     scale = float(alpha) ** 2
+    # retained host copies for host-backed densities, device arrays
+    # otherwise: np.asarray(p.points) would first force the lazy upload and
+    # then read the whole array back (the documented dispatch cliff)
+    if p._host_points is not None:
+        pts, bw, w = p._host_points, p._host_bw, p._host_weights
+    else:
+        pts, bw, w = p.points, p.bw, p.weights
     return float(entropy_kernel(
-        jnp.asarray(np.asarray(p.points), dtype=dtype),
-        jnp.asarray(np.asarray(p.bw) * scale, dtype=dtype),
-        jnp.asarray(np.asarray(p.weights), dtype=dtype)))
+        jnp.asarray(pts, dtype=dtype),
+        jnp.asarray(bw, dtype=dtype) * scale,
+        jnp.asarray(w, dtype=dtype)))
 
 
 def ksize(p, dtype=jnp.float64):
     """LOOCV-refit of a density: select a fresh per-dim bandwidth for ``p``'s
     points/weights and return the refit KDE (reference ksize,
     src/CrossValidation.jl:110-120).  Device-resident densities refit fully
-    on device (sort-based bracket; no readback)."""
+    on device (sort-based bracket; no readback).  The refit keeps the
+    source's manifold hooks (the bandwidth search itself is Euclidean, as
+    the reference's)."""
     from ..density import kde
+    hooks = dict(addop=p.addop, diffop=p.diffop,
+                 get_mu=p.get_mu, get_lambda=p.get_lambda)
     if p._host_points is None:                       # device-resident
         bwds = ksize_bandwidths_device(p.points, p.weights, dtype=dtype)
-        return kde(p.get_points(), bwds, p.weights)
+        return kde(p.get_points(), bwds, p.weights, **hooks)
     # host-backed: use the retained host copies -- np.asarray(get_points())
     # would be a device readback (the documented dispatch cliff, BASELINE.md)
     pts = p.host_points()
     w = p.host_weights()
     bwds = ksize_bandwidths(pts.T, w, dtype=dtype)
-    return kde(pts, bwds, w)
+    return kde(pts, bwds, w, **hooks)

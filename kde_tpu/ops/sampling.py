@@ -86,6 +86,15 @@ def resample(p: KDE, n: Optional[int] = None, ks_type: str = "lcv",
     """
     if n is None:
         n = p.npts
+    if ks_type not in ("lcv", "discrete"):
+        raise ValueError(
+            f"unknown ks_type {ks_type!r}: expected 'lcv' or 'discrete' "
+            "(reference resample, src/BallTreeDensity01.jl:312-334)")
+    # the resampled density keeps the source's manifold hooks (as
+    # product()/marginal() do); the jitter itself is Euclidean, exactly as
+    # the reference's randKernel (src/KDE01.jl:155-157, no addop)
+    hooks = dict(addop=p.addop, diffop=p.diffop,
+                 get_mu=p.get_mu, get_lambda=p.get_lambda)
     if ks_type == "discrete" and _host_sample_ok(p, n, key):
         rng = host_rng(key)
         cdf = np.cumsum(p._host_weights)
@@ -95,23 +104,20 @@ def resample(p: KDE, n: Optional[int] = None, ks_type: str = "lcv",
         pts = p._host_points[ind].T
         ks = (np.sqrt(p._host_bw[ind]).T if p.multibandwidth
               else np.sqrt(p._host_bw[0]))
-        return kde(pts, ks)
+        return kde(pts, ks, **hooks)
     if ks_type == "lcv":
         # sample() takes the host fast path itself when eligible (NumPy
         # out); kde() then routes the refit through the host LOOCV gate
         pts, _ = sample(p, n, key)
-        return kde(pts)
+        return kde(pts, **hooks)
     key = ensure_key(key)
-    if ks_type == "discrete":
-        cdf = jnp.cumsum(p.weights)
-        cdf = cdf / cdf[-1]
-        u = jnp.sort(jax.random.uniform(key, (n,), dtype=p.points.dtype))
-        ind = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p.npts - 1)
-        pts = p.points[ind].T
-        if p.multibandwidth:
-            ks = jnp.sqrt(p.bw[ind]).T
-        else:
-            ks = jnp.sqrt(p.bw[0])
-        return kde(pts, ks)
-    pts, _ = sample(p, n, key)
-    return kde(pts)
+    cdf = jnp.cumsum(p.weights)
+    cdf = cdf / cdf[-1]
+    u = jnp.sort(jax.random.uniform(key, (n,), dtype=p.points.dtype))
+    ind = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, p.npts - 1)
+    pts = p.points[ind].T
+    if p.multibandwidth:
+        ks = jnp.sqrt(p.bw[ind]).T
+    else:
+        ks = jnp.sqrt(p.bw[0])
+    return kde(pts, ks, **hooks)

@@ -177,3 +177,28 @@ def test_mul_partial_hooks_raises():
         pa * pb
     with pytest.raises(ValueError, match="quadruple"):
         ProductSampler([pa, pb], n_out=32)
+
+
+def test_ksize_and_resample_keep_hooks():
+    """LOOCV refits and resampling keep the source density's manifold hooks
+    (as product()/marginal() do) -- they used to silently return Euclidean
+    densities."""
+    from kde_tpu import resample
+    from kde_tpu.ops.loocv import ksize
+    rng = np.random.default_rng(9)
+    p = kde(rng.normal(size=(1, 64)) * 0.2, [0.1], **_CIRC)
+    for out in (ksize(p), resample(p, 32, "lcv", key=3),
+                resample(p, 32, "discrete", key=3)):
+        assert out.addop[0] is manifolds.circular_add
+        assert out.diffop[0] is manifolds.circular_diff
+        assert out.get_mu[0] is manifolds.circular_mu
+        assert out.get_lambda[0] is manifolds.circular_lambda
+
+
+def test_resample_unknown_ks_type_raises():
+    import pytest
+    from kde_tpu import resample
+    rng = np.random.default_rng(10)
+    p = kde(rng.normal(size=(1, 32)), [0.3])
+    with pytest.raises(ValueError, match="ks_type"):
+        resample(p, 16, "Discrete")
