@@ -79,14 +79,12 @@ class _ProductPlan:
         t_bw = np.ones((dn, two_n, d))
         t_wt = np.zeros((dn, two_n))
         t_perm = np.zeros((dn, two_n), dtype=np.int64)
-        t_down = np.tile(np.arange(two_n), (dn, 1))
         for j, t in enumerate(trees):
             s = 2 * t.num_points
             t_mean[j, :s] = t.means
             t_bw[j, :s] = t.bandwidth
             t_wt[j, :s] = t.weights
             t_perm[j, :s] = t.permutation
-            t_down[j, :s] = t.down_map()
 
         # Per-level node lists (levels 1..n_levels; level 0 is just the root),
         # padded across densities and *packed along one concatenated node
@@ -125,8 +123,6 @@ class _ProductPlan:
         as_dev = lambda x, dt=dtype: jnp.asarray(x, dtype=dt)
         self.t_mean = as_dev(t_mean)
         self.t_bw = as_dev(t_bw)
-        self.t_perm = jnp.asarray(t_perm.astype(np.int32))
-        self.t_down = jnp.asarray(t_down.astype(np.int32))
         self.lvl_nodes = jnp.asarray(nodes_cat.astype(np.int32))
         self.lvl_mean = as_dev(lvl_mean)
         self.lvl_bw = as_dev(lvl_bw)
@@ -168,6 +164,12 @@ def _resolve_plan_impl(densities: Sequence[KDE], plan: str,
         return "device" if dev else "host"
     if plan not in ("host", "device"):
         raise ValueError(f"plan must be auto|host|device, got {plan!r}")
+    if replay and plan == "device":
+        raise ValueError(
+            "replay mode (rand_u=) requires the host plan: the device-built "
+            "hierarchy is statistically equivalent but not trace-identical "
+            "in d>1, so replayed labels would silently diverge from the "
+            "injected reference trace (ops/device_plan.py parity contract)")
     return plan
 
 
@@ -332,7 +334,7 @@ def _fused_k(offsets, n_levels: int, euclidean: bool) -> Tuple[int, int]:
     latency-bound one (each level is a few KB of candidates); it only pays
     when several levels fuse, so the gate requires >=3."""
     from .. import config
-    if not euclidean or config.GIBBS_FUSED is False:
+    if not euclidean or not config.GIBBS_FUSED:
         return 0
     if config.GIBBS_FUSED == "auto":
         from . import gibbs_fused
@@ -692,6 +694,14 @@ def prod_appx_ms_gibbs(npd0,
     if manifolds.is_euclidean(get_lambda_t, manifolds.euclid_lambda) and \
        manifolds.is_euclidean(get_mu_t, manifolds.euclid_mu):
         get_mu_t = get_lambda_t = None
+    elif get_mu_t is None:
+        # custom get_lambda with default get_mu (or vice versa below): fill
+        # the default explicitly so the generic information-form path runs
+        # -- the (None, tuple) mix would either crash at get_mu[k] or take
+        # the Euclidean fast path and silently ignore the custom hook
+        get_mu_t = (manifolds.euclid_mu,) * d
+    elif get_lambda_t is None:
+        get_lambda_t = (manifolds.euclid_lambda,) * d
 
     # A fused per-level Pallas engine was built and A/B-measured against this
     # jnp program (completion-forced, interleaved): it lost 7x at 1000 chains,
@@ -699,6 +709,10 @@ def prod_appx_ms_gibbs(npd0,
     # the single fused XLA program is the engine (BASELINE.md "Engine
     # comparison"; removed in round 2).
 
+    if (rand_u is None) != (rand_n is None):
+        raise ValueError(
+            "replay mode needs BOTH streams: pass rand_u (uniforms) and "
+            "rand_n (normals) together (reference src/MSGibbs01.jl:661-662)")
     bu = dn * (1 + n_levels * (1 + n_iter))
     bn = d * (n_levels + 1)
     if rand_u is None:
@@ -941,6 +955,7 @@ class BatchedProductSampler:
         self._build(density_sets, partial_dim_masks)
 
     def _build(self, density_sets, partial_dim_masks):
+        self._masks_arg = partial_dim_masks     # refresh() default: keep
         sets = [list(ds) for ds in density_sets]
         if not sets:
             raise ValueError("need at least one density set")
@@ -1019,12 +1034,20 @@ class BatchedProductSampler:
             self.t_bw = put(self.t_bw)
             self.mask = put(self.mask)
 
-    def refresh(self, density_sets, partial_dim_masks=None):
-        """Swap in updated densities (same shapes -> no recompilation)."""
+    _KEEP = object()
+
+    def refresh(self, density_sets, partial_dim_masks=_KEEP):
+        """Swap in updated densities (same shapes -> no recompilation).
+        ``partial_dim_masks`` defaults to KEEPING the masks the sampler was
+        built with (the BP-loop pattern refreshes densities only); pass
+        explicit masks (or ``None`` for all-dims) to change them."""
+        if partial_dim_masks is BatchedProductSampler._KEEP:
+            partial_dim_masks = self._masks_arg
         self._build(density_sets, partial_dim_masks)
 
     def sample(self, key):
         """Returns (points [B, d, n_out], labels [B, ndens, n_out])."""
+        key = ensure_key(key)
         pts, idx, _ = _run_with_fused_fallback(
             _gibbs_batched_sets,
             key, self.lvl_arrays, self.t_mean, self.t_bw,
@@ -1079,6 +1102,7 @@ class ProductSampler:
 
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
+        key = ensure_key(key)
         p = self.plan
         addop, diffop, get_mu, get_lambda = self.hooks
         pts_t, idx_t, _ = _run_with_fused_fallback(

@@ -9,7 +9,7 @@ import numpy as np
 import jax
 import pytest
 
-from kde_tpu import kde, prod_appx_ms_gibbs, product
+from kde_tpu import (BatchedProductSampler, ProductSampler, kde, prod_appx_ms_gibbs, product)
 
 
 def _test_prods(key, D=3, M=6, N=100, n=100, dev=1.0, mcmc=5):
@@ -129,3 +129,66 @@ def test_replay_mode_deterministic():
     out2 = prod_appx_ms_gibbs(n_out, [p, q], n_iter=n_iter, rand_u=ru, rand_n=rn)
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
     np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+def test_replay_requires_both_streams_and_host_plan():
+    import pytest
+    rng = np.random.default_rng(41)
+    dens = [kde(rng.normal(size=(1, 16)), [0.4]) for _ in range(2)]
+    u = rng.uniform(size=4096)
+    with pytest.raises(ValueError, match="BOTH streams"):
+        prod_appx_ms_gibbs(8, dens, n_iter=1, rand_u=u)
+    with pytest.raises(ValueError, match="host plan"):
+        prod_appx_ms_gibbs(8, dens, n_iter=1, rand_u=u,
+                           rand_n=rng.normal(size=4096), plan="device")
+
+
+def test_explicit_partial_information_hooks_run_generic_path():
+    """A custom get_mu with the get_lambda kwarg omitted (natural for
+    circular manifolds, whose lambda is the plain sum) must reach the
+    generic information-form path -- not silently take the Euclidean fast
+    path (or crash in the reverse case)."""
+    from kde_tpu import manifolds
+    rng = np.random.default_rng(43)
+    # two clusters straddling the wrap: Euclidean mean would sit near 0,
+    # circular mean near +/-pi
+    th_a = np.pi - 0.12 + 0.03 * rng.normal(size=(1, 48))
+    th_b = -np.pi + 0.12 + 0.03 * rng.normal(size=(1, 48))
+    dens = [kde(th_a, [0.1]), kde(th_b, [0.1])]
+    pts, _ = prod_appx_ms_gibbs(
+        200, dens, n_iter=3, key=jax.random.PRNGKey(43),
+        addop=(manifolds.circular_add,), diffop=(manifolds.circular_diff,),
+        get_mu=(manifolds.circular_mu,))       # get_lambda omitted
+    pts = np.asarray(pts)
+    assert np.mean(np.abs(pts) > 2.5) > 0.9    # mass at the wrap, not 0
+    # reverse mix: only get_lambda -> generic path, no crash
+    pts2, _ = prod_appx_ms_gibbs(
+        50, dens, n_iter=1, key=jax.random.PRNGKey(44),
+        addop=(manifolds.circular_add,), diffop=(manifolds.circular_diff,),
+        get_lambda=(manifolds.circular_lambda,))
+    assert np.all(np.isfinite(np.asarray(pts2)))
+
+
+def test_sampler_accepts_int_keys():
+    rng = np.random.default_rng(45)
+    dens = [kde(rng.normal(size=(1, 32)), [0.4]) for _ in range(2)]
+    s = ProductSampler(dens, n_out=16, n_iter=1)
+    p1, _ = s.sample(7)
+    p2, _ = s.sample(7)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    b = BatchedProductSampler([dens], n_out=16, n_iter=1)
+    q1, _ = b.sample(7)
+    assert np.asarray(q1).shape == (1, 1, 16)
+
+
+def test_batched_refresh_keeps_masks():
+    rng = np.random.default_rng(46)
+    mk = lambda: [kde(rng.normal(size=(2, 32)), [0.4]) for _ in range(2)]
+    masks = [[[True, False], [False, True]]]
+    b = BatchedProductSampler([mk()], n_out=16, n_iter=1,
+                              partial_dim_masks=masks)
+    m0 = np.asarray(b.mask).copy()
+    b.refresh([mk()])                          # default: keep masks
+    np.testing.assert_array_equal(np.asarray(b.mask), m0)
+    b.refresh([mk()], partial_dim_masks=None)  # explicit reset
+    assert np.all(np.asarray(b.mask))
