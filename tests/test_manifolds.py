@@ -202,3 +202,31 @@ def test_resample_unknown_ks_type_raises():
     p = kde(rng.normal(size=(1, 32)), [0.3])
     with pytest.raises(ValueError, match="ks_type"):
         resample(p, 16, "Discrete")
+
+
+def test_se2_mixed_per_dim_hooks():
+    """SE(2) pattern: per-dimension MIXED hook tuples -- x/y fuse with the
+    Euclidean information-form mean while the heading dimension wraps
+    (examples/se2_fusion.py; reference threads per-dim tuples,
+    src/MSGibbs01.jl:672-675)."""
+    SE2 = dict(
+        addop=(manifolds.euclid_add, manifolds.circular_add),
+        diffop=(manifolds.euclid_diff, manifolds.circular_diff),
+        get_mu=(manifolds.euclid_mu, manifolds.circular_mu),
+        get_lambda=(manifolds.euclid_lambda, manifolds.circular_lambda))
+    wrap = lambda a: a - 2 * np.pi * np.round(a / (2 * np.pi))
+    rng = np.random.default_rng(11)
+
+    def belief(x, th, n=150):
+        pts = np.vstack([x + 0.1 * rng.normal(size=n),
+                         wrap(th + 0.05 * rng.normal(size=n))])
+        return kde(pts, [0.08, 0.05], **SE2)
+
+    pa = belief(2.0, np.pi - 0.15)
+    pb = belief(2.3, -np.pi + 0.15)
+    fused = pa * pb
+    pts = np.asarray(fused.get_points())
+    assert abs(pts[0].mean() - 2.15) < 0.15         # Euclidean dim fuses
+    assert np.mean(np.abs(pts[1]) > np.pi / 2) > 0.9  # heading at the wrap
+    assert fused.get_mu[1] is manifolds.circular_mu   # hooks carried
+    assert fused.get_mu[0] is manifolds.euclid_mu
