@@ -357,3 +357,111 @@ def test_worked_trace_hits_both_cdf_branches():
     select(U[6], mA, vA, wA, x2, 0.0)
     select(U[7], mB, vB, wB, x2, 0.0)
     assert picked == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# degenerate-fallback worked trace (round 3): far-apart densities where
+# EVERY candidate likelihood underflows the reference's 1e-99 total
+# (src/MSGibbs01.jl:311-315) -- the corner where a shared misreading of the
+# fallback in the oracle AND the engines would be invisible to replay parity
+# ---------------------------------------------------------------------------
+
+# same stream shape as the base trace (Np=1, Ndens=2, Npts=2, Niter=1):
+# 10 uniforms, 3 normals; values chosen to hit both uniform-fallback
+# branches (u <= 0.5 -> first candidate, else second)
+U_D = np.array([0.11, 0.89, 0.30, 0.81, 0.72, 0.07, 0.55, 0.93, 0.28, 0.48])
+NRM_D = np.array([0.6, -1.1, 0.35])
+
+
+def _densities_far():
+    # ~100 bandwidths apart: every cross-density kernel evaluation is
+    # exp(-O(10^4)) = 0.0 in linear f64 -> the total underflows 1e-99 at
+    # every selection after the (weight-only) init
+    a = kde(np.array([[0.0, 2.0]]), [0.5])
+    b = kde(np.array([[100.0, 103.0]]), [0.5])
+    return a, b
+
+
+def _hand_trace_degenerate(ta, tb, add_entropy):
+    """The base trace's arithmetic with the reference's degenerate branch
+    transcribed: after the per-candidate Gaussian evaluations (:287-296),
+    ``pT = sum(p)``; when ``pT < 1e-99`` every candidate's p is overwritten
+    with the LAST candidate's weight (``p_ .= weight(zz)``, :313 -- a
+    constant, so the normalized CDF is uniform), then the usual
+    normalize+scan select (:318-351)."""
+    mA, vA, wA = ta.means[:, 0], ta.bandwidth[:, 0], ta.weights
+    mB, vB, wB = tb.means[:, 0], tb.bandwidth[:, 0], tb.weights
+
+    def select(u, m, v, w, mu, cov):
+        c2, c3 = v[2] + cov, v[3] + cov
+        p2 = np.exp(-0.5 * ((m[2] - mu) ** 2 / c2 + np.log(c2))) * w[2]
+        p3 = np.exp(-0.5 * ((m[3] - mu) ** 2 / c3 + np.log(c3))) * w[3]
+        if p2 + p3 < 1e-99:                       # :311-315
+            p2 = p3 = w[3]                        # p_ .= weight(last)
+        return 2 if u <= p2 / (p2 + p3) else 3
+
+    def product2(muA, varA, muB, varB):
+        lamA, lamB = 1.0 / varA, 1.0 / varB
+        cov = 1.0 / (lamA + lamB)
+        return cov * (lamA * muA + lamB * muB), cov
+
+    # initIndices!: root selected unconditionally, U[0], U[1] burned
+    # level 1: x1 from the ROOT product (the roots are ~100 apart, so x1
+    # sits near the precision-weighted midpoint -- far from both leaf sets)
+    mu1, cov1 = product2(mA[0], vA[0], mB[0], vB[0])
+    x1 = mu1 + np.sqrt(cov1) * NRM_D[0]
+    iA = select(U_D[2], mA, vA, wA, x1, 0.0)      # degenerate -> uniform
+    iB = select(U_D[3], mB, vB, wB, x1, 0.0)      # degenerate -> uniform
+    iA = select(U_D[4], mA, vA, wA, mB[iB], vB[iB])   # degenerate (LOO)
+    iB = select(U_D[5], mB, vB, wB, mA[iA], vA[iA])   # degenerate (LOO)
+
+    # level 2 (leaves self-replicate)
+    mu2, cov2 = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    x2 = mu2 + np.sqrt(cov2) * NRM_D[1]
+    iA = select(U_D[6], mA, vA, wA, x2, 0.0)
+    iB = select(U_D[7], mB, vB, wB, x2, 0.0)
+    iA = select(U_D[8], mA, vA, wA, mB[iB], vB[iB])
+    iB = select(U_D[9], mB, vB, wB, mA[iA], vA[iA])
+
+    idx = np.array([ta.permutation[iA], tb.permutation[iB]])
+    muf, covf = product2(mA[iA], vA[iA], mB[iB], vB[iB])
+    xf = muf + (np.sqrt(covf) * NRM_D[2] if add_entropy else 0.0)
+    return xf, idx
+
+
+@pytest.mark.parametrize("add_entropy", [True, False])
+def test_worked_trace_degenerate(add_entropy):
+    a, b = _densities_far()
+    want_x, want_idx = _hand_trace_degenerate(a.tree, b.tree, add_entropy)
+
+    # sanity: the conditional selections really are in the degenerate regime
+    mA, vA = a.tree.means[:, 0], a.tree.bandwidth[:, 0]
+    assert np.exp(-0.5 * (mA[2] - 100.0) ** 2 / vA[2]) == 0.0
+
+    pts_s, idx_s, _ = serial_gibbs_product(
+        [a.tree, b.tree], 1, 1, U_D, NRM_D, add_entropy=add_entropy)
+    np.testing.assert_allclose(pts_s[0, 0], want_x, rtol=1e-12)
+    np.testing.assert_array_equal(idx_s[:, 0], want_idx)
+
+    pts_v, idx_v = prod_appx_ms_gibbs(
+        1, [a, b], n_iter=1, add_entropy=add_entropy, rand_u=U_D,
+        rand_n=NRM_D)
+    np.testing.assert_allclose(np.asarray(pts_v)[0, 0], want_x, rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx_v)[:, 0], want_idx)
+
+
+def test_worked_trace_degenerate_hits_both_branches():
+    """The degenerate trace must actually exercise both uniform-fallback
+    branches (first and second candidate) or it proves nothing about the
+    fallback CDF."""
+    a, b = _densities_far()
+    _, idx = _hand_trace_degenerate(a.tree, b.tree, True)
+    # with U_D above, the level-2 selections land on different slots for
+    # the two densities (u=0.28 -> first, u=0.48 -> first; level-2
+    # conditional: u=0.55 -> second, u=0.93 -> second)
+    mA, vA, wA = a.tree.means[:, 0], a.tree.bandwidth[:, 0], a.tree.weights
+    sel = []
+    for u in (0.11, 0.55, 0.93):
+        p2 = p3 = wA[3]
+        sel.append(2 if u <= p2 / (p2 + p3) else 3)
+    assert 2 in sel and 3 in sel
