@@ -32,3 +32,15 @@ def load_fixture(name):
 def load_points(name):
     """Whitespace-separated numeric table, one point per row."""
     return np.loadtxt(os.path.join(TESTDATA, name))
+
+
+def gibbs_streams(rng, ndens, d, n_out, n_iter, max_np):
+    """Pre-generated replay streams sized by the reference's budget
+    (src/MSGibbs01.jl:661-662 as consumed by ops/gibbs.py: ``bu = ndens *
+    (1 + L*(1+n_iter))`` uniforms and ``bn = d*(L+1)`` normals per chain,
+    ``L = floor(log2 max_np) + 1``).  Single authority for the test
+    suites' stream sizing."""
+    n_levels = int(np.floor(np.log2(max_np))) + 1
+    bu = n_out * ndens * (1 + n_levels * (1 + n_iter))
+    bn = n_out * d * (n_levels + 1)
+    return rng.uniform(size=bu), rng.normal(size=bn), n_levels

@@ -15,6 +15,8 @@ def _check_tree(tree, fx, tol):
     d, n2 = tree.dims, 2 * tree.num_points
     assert int(fx["dims"][0]) == d
     assert int(fx["num_points"][0]) == tree.num_points
+    # every fixture field covers the full 2N-slot layout
+    assert fx["weights"].size == n2 and fx["centers"].size == n2 * d
     np.testing.assert_allclose(
         tree.centers.reshape(-1), fx["centers"], atol=tol, err_msg="centers")
     np.testing.assert_allclose(

@@ -64,9 +64,11 @@ def test_fused_routing_gate(force_fused):
     assert _fused_k(offsets[:2], 2, euclidean=True) == 0       # < 3 levels
     assert _fused_k(offsets, 4, euclidean=False) == 0          # manifold
     old_w = config.GIBBS_FUSED_WIDTH
-    config.GIBBS_FUSED_WIDTH = 256
-    assert _fused_k(offsets, 4, euclidean=True) == (4, 256)    # wider region
-    config.GIBBS_FUSED_WIDTH = old_w
+    try:
+        config.GIBBS_FUSED_WIDTH = 256
+        assert _fused_k(offsets, 4, euclidean=True) == (4, 256)  # wider
+    finally:
+        config.GIBBS_FUSED_WIDTH = old_w
     config.GIBBS_FUSED = False
     assert _fused_k(offsets, 4, euclidean=True) == 0
 
@@ -98,6 +100,7 @@ def test_fused_identical_multibandwidth(force_fused):
     dens = _mk_densities(rng, 150, 3, 2, multibw=True)
     p0, i0, l0, p1, i1, l1 = _ab(dens, 120, jax.random.PRNGKey(2))
     assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
     np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
 
 
@@ -149,6 +152,7 @@ def test_fused_identical_no_gibbs_sweeps(force_fused):
     dens = _mk_densities(rng, 150, 2, 2)
     p0, i0, l0, p1, i1, l1 = _ab(dens, 80, jax.random.PRNGKey(9), n_iter=0)
     assert np.array_equal(i0, i1)
+    assert np.array_equal(l0, l1)
     np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
 
 
@@ -273,11 +277,20 @@ def test_fused_forced_never_falls_back(force_fused):
 
 def test_sampler_freezes_engine_at_build(monkeypatch):
     # the engine choice is captured at construction: flipping the config
-    # afterwards must not change which program a sampler runs (A/B
-    # harnesses rely on this; tools/ab_fused.py)
+    # afterwards must not change which program a sampler RUNS (A/B
+    # harnesses rely on this; tools/ab_fused.py).  A spy on the fused
+    # entry point pins the behavior, not just the frozen attribute.
+    from kde_tpu.ops import gibbs_fused
+    calls = []
+    real = gibbs_fused.fused_upper_levels
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+    monkeypatch.setattr(gibbs_fused, "fused_upper_levels", spy)
+
     rng = np.random.default_rng(11)
     dens = _mk_densities(rng, 64, 2, 2)
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     old = config.GIBBS_FUSED
     try:
         config.GIBBS_FUSED = False
@@ -286,12 +299,27 @@ def test_sampler_freezes_engine_at_build(monkeypatch):
         s_fused = gibbs.ProductSampler(dens, n_out=32, n_iter=2)
         b_fused = gibbs.BatchedProductSampler([dens, dens], n_out=32,
                                               n_iter=2)
+        # flip the config: frozen choices must still decide the program
+        config.GIBBS_FUSED = True
+        jax.clear_caches()                  # force a fresh trace
+        s_xla.sample(jax.random.PRNGKey(0))
+        assert not calls                    # frozen XLA: fused never traced
         config.GIBBS_FUSED = False
+        p_f, i_f = s_fused.sample(jax.random.PRNGKey(0))
+        assert calls                        # frozen fused: kernel traced
     finally:
         config.GIBBS_FUSED = old
     assert s_xla._fused_k == 0
     assert s_fused._fused_k and s_fused._fused_k[1] == 128
     assert b_fused._fused_k == s_fused._fused_k
+    # and both engines still agree on the same key
+    config.GIBBS_FUSED = False
+    try:
+        s2 = gibbs.ProductSampler(dens, n_out=32, n_iter=2)
+        p_x, i_x = s2.sample(jax.random.PRNGKey(0))
+    finally:
+        config.GIBBS_FUSED = old
+    assert np.array_equal(np.asarray(i_f), np.asarray(i_x))
 
 
 def test_fused_fallback_end_to_end(monkeypatch):

@@ -11,15 +11,16 @@ from jax.sharding import Mesh
 from kde_tpu import kde, prod_appx_ms_gibbs
 from kde_tpu.parallel.gibbs_kernel_sharded import (
     prod_appx_ms_gibbs_kernel_sharded)
-from kde_tpu.parallel.mesh import CHAINS, KERNELS, make_mesh, make_mesh_2d
+from kde_tpu.parallel.mesh import KERNELS, make_mesh_2d
 from kde_tpu.reference_impl import serial_gibbs_product
 
 
+from fixtures import gibbs_streams  # noqa: E402 (shared sizing)
+
+
 def _streams(rng, ndens, d, n_out, n_iter, max_np):
-    n_levels = int(np.floor(np.log2(max_np))) + 1
-    bu = n_out * ndens * (1 + n_levels * (1 + n_iter))
-    bn = n_out * d * (n_levels + 1)
-    return rng.uniform(size=bu), rng.normal(size=bn)
+    ru, rn, _ = gibbs_streams(rng, ndens, d, n_out, n_iter, max_np)
+    return ru, rn
 
 
 def _kmesh(n):

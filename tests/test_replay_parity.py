@@ -10,11 +10,7 @@ from kde_tpu import kde, prod_appx_ms_gibbs
 from kde_tpu.reference_impl import serial_gibbs_product
 
 
-def _streams(rng, ndens, d, n_out, n_iter, max_np):
-    n_levels = int(np.floor(np.log2(max_np))) + 1
-    bu = n_out * ndens * (1 + n_levels * (1 + n_iter))
-    bn = n_out * d * (n_levels + 1)
-    return rng.uniform(size=bu), rng.normal(size=bn), n_levels
+from fixtures import gibbs_streams as _streams  # noqa: E402 (shared sizing)
 
 
 @pytest.mark.parametrize("cfg", [
@@ -204,3 +200,5 @@ def test_replay_parity_marginal_overlap():
         n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn, record_labels=True)
     np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
     np.testing.assert_array_equal(np.asarray(lab_v), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9,
+                               atol=1e-12)

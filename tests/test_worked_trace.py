@@ -453,15 +453,19 @@ def test_worked_trace_degenerate(add_entropy):
 def test_worked_trace_degenerate_hits_both_branches():
     """The degenerate trace must actually exercise both uniform-fallback
     branches (first and second candidate) or it proves nothing about the
-    fallback CDF."""
+    fallback CDF.  In this config EVERY selection after the burned init
+    uniforms (U_D[0], U_D[1]) is in the fallback regime, where the
+    normalized CDF is exactly [0.5, 1.0] -- so the branch taken by
+    selection k is determined by U_D[2 + k] <= 0.5.  Assert on the trace's
+    ACTUAL selection uniforms, so editing U_D cannot silently reduce the
+    trace to a single branch."""
+    sel = [2 if u <= 0.5 else 3 for u in U_D[2:]]
+    assert 2 in sel and 3 in sel, sel
+    # cross-check against the hand trace itself: its final labels are the
+    # permuted slots selected by the LAST two uniforms (U_D[8], U_D[9])
     a, b = _densities_far()
     _, idx = _hand_trace_degenerate(a.tree, b.tree, True)
-    # with U_D above, the level-2 selections land on different slots for
-    # the two densities (u=0.28 -> first, u=0.48 -> first; level-2
-    # conditional: u=0.55 -> second, u=0.93 -> second)
-    mA, vA, wA = a.tree.means[:, 0], a.tree.bandwidth[:, 0], a.tree.weights
-    sel = []
-    for u in (0.11, 0.55, 0.93):
-        p2 = p3 = wA[3]
-        sel.append(2 if u <= p2 / (p2 + p3) else 3)
-    assert 2 in sel and 3 in sel
+    slot_a = 2 if U_D[8] <= 0.5 else 3
+    slot_b = 2 if U_D[9] <= 0.5 else 3
+    assert idx[0] == a.tree.permutation[slot_a]
+    assert idx[1] == b.tree.permutation[slot_b]
