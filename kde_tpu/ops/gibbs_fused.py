@@ -76,12 +76,39 @@ def fused_level_count(offsets, n_levels: int, width: int = FUSED_WIDTH) -> int:
 _FUSED_BROKEN: bool = False
 
 
+def _lane_prefix_sum(p, *, interpret: bool):
+    """Row-wise prefix sum over the lane axis of ``p [C, W]``.
+
+    Mosaic (Pallas TPU) has no lowering for the ``cumsum`` primitive
+    (NotImplementedError observed 2026-08-18 on jaxlib 0.5-era Mosaic), so
+    the TPU path runs a log2(W) Hillis-Steele scan of shifted adds --
+    static-shape concatenate + add, both lowerable.  Interpret mode keeps
+    ``jnp.cumsum`` so the CPU bit-identity suite (tests/test_gibbs_fused.py)
+    compares the fused engine against the chain program's exact arithmetic
+    (ops/gibbs.py::_select_label); on real TPU the two engines differ only
+    in scan associativity, the same order-of-summation freedom XLA's own
+    cumsum lowering exercises (both remain exact inverse-CDF draws of the
+    same normalized distribution -- reference src/MSGibbs01.jl:318-326).
+    The scan is validated against cumsum directly in
+    tests/test_gibbs_fused.py::test_lane_prefix_sum."""
+    if interpret:
+        return jnp.cumsum(p, axis=1)
+    C, W = p.shape
+    acc = p
+    s = 1
+    while s < W:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((C, s), p.dtype), acc[:, :W - s]], axis=1)
+        s *= 2
+    return acc
+
+
 def _kernel(act_ref, has_ref, maskv_ref,            # SMEM scalars
             contrib_ref, init_ref,                  # VMEM small
             ms_ref, logw_ref, perm_ref,             # VMEM [K, ...]
             u_ref, nrm_ref,                         # VMEM streams [K, C, .]
             mu_out, var_out, lbl_out,               # outputs
-            *, K, W, dn, d, n_iter):
+            *, K, W, dn, d, n_iter, interpret):
     f = init_ref.dtype
     C = mu_out.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, f)
@@ -136,7 +163,8 @@ def _kernel(act_ref, has_ref, maskv_ref,            # SMEM scalars
         # normalize-then-cumsum, count-below draw (gibbs.py::_select_label)
         m = jnp.max(logits, axis=1, keepdims=True)
         e = jnp.exp(logits - m)
-        cdf = jnp.cumsum(e / jnp.sum(e, axis=1, keepdims=True), axis=1)
+        cdf = _lane_prefix_sum(e / jnp.sum(e, axis=1, keepdims=True),
+                               interpret=interpret)
         z = jnp.sum((cdf < u_col).astype(jnp.int32), axis=1, keepdims=True,
                     dtype=jnp.int32)
         z = jnp.clip(z, 0, W - 1)
@@ -288,7 +316,8 @@ def fused_upper_levels(u_k, nrm_k, ms, logw, perm, mask, t_mean, t_bw,
                                          memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    kern = functools.partial(_kernel, K=K, W=W, dn=dn, d=d, n_iter=n_iter)
+    kern = functools.partial(_kernel, K=K, W=W, dn=dn, d=d, n_iter=n_iter,
+                             interpret=interpret)
     mu_s, var_s, lbl = pl.pallas_call(
         kern,
         grid=grid,

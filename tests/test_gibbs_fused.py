@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from kde_tpu import config
 from kde_tpu.density import kde
 from kde_tpu.ops import gibbs
+from kde_tpu.ops import gibbs_fused
 from kde_tpu.ops.gibbs import _fused_k, _grouped_vmap
 
 
@@ -368,3 +369,33 @@ def test_fused_identical_degenerate_far_apart(force_fused):
     assert np.array_equal(i0, i1)
     assert np.array_equal(l0, l1)
     np.testing.assert_allclose(p0, p1, rtol=0, atol=0)
+
+
+def test_lane_prefix_sum():
+    # The TPU lowering of the in-kernel CDF scan (Mosaic has no cumsum
+    # primitive) must compute the same prefix sums as jnp.cumsum up to
+    # scan associativity: exact on the padded-zero tail, and within a few
+    # ULPs of the f64 prefix everywhere (both are correct inverse-CDF
+    # draws of the same normalized distribution).
+    rng = np.random.default_rng(21)
+    for W in (128, 256):
+        logits = rng.normal(size=(64, W)).astype(np.float32)
+        logits[:, W // 3:] = -np.inf          # padded lanes -> zero mass
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        p = (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
+        got = np.asarray(gibbs_fused._lane_prefix_sum(
+            jnp.asarray(p), interpret=False))
+        ref = np.cumsum(p.astype(np.float64), axis=1)
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-7)
+        # the zero-mass tail stays within scan-associativity ULPs of the
+        # running total (positions combine lanes in different tree orders,
+        # so exact equality is NOT guaranteed -- only cumsum gives that)
+        tail = got[:, W // 3:]
+        total = got[:, W // 3 - 1:W // 3]
+        np.testing.assert_allclose(tail, np.broadcast_to(total, tail.shape),
+                                   rtol=1e-6)
+        # interpret path IS jnp.cumsum (the bit-identity contract)
+        np.testing.assert_array_equal(
+            np.asarray(gibbs_fused._lane_prefix_sum(jnp.asarray(p),
+                                                    interpret=True)),
+            np.asarray(jnp.cumsum(jnp.asarray(p), axis=1)))
