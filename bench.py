@@ -323,17 +323,15 @@ def main():
         "value": round(rate, 1), "unit": "samples/s",
         "vs_baseline": round(rate / cpu, 2)})
 
-    from kde_tpu.ops import gibbs_fused
     print(json.dumps({
         "metric": "gibbs product samples/s (2x1000-comp 2D KDE, Niter=5)",
         "value": round(tpu_rate, 2),
         "unit": "samples/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
-        # evidence of which engine served the headline: the fused region's
-        # (levels, width), 0 = pure-XLA; plus whether the auto gate's
-        # fallback fired (a fused lowering failure on this backend)
-        "fused_k": list(sampler._fused_k) if sampler._fused_k else 0,
-        "fused_fallback": bool(gibbs_fused._FUSED_BROKEN),
+        # engine: the pure-XLA chain program (the round-3 fused upper-level
+        # Pallas engine lost the interleaved real-TPU A/B in every regime
+        # and was removed in round 4 -- tools/ab_fused_r4_output.txt)
+        "engine": "xla",
         "configs": results,
     }))
 

@@ -52,22 +52,6 @@ HOST_EVAL_LIMIT: int = 1 << 18
 # Sampling: host when n_draw * (N + n_draw) * d <= this.
 HOST_SAMPLE_LIMIT: int = 1 << 18
 
-# Fused upper-level Gibbs engine (ops/gibbs_fused.py): run every narrow
-# level of the product schedule in ONE Pallas launch, leaving only the wide
-# bandwidth-bound levels to the XLA program.  "auto" enables it on TPU
-# backends only (elsewhere Pallas would run in the slow interpreter); True
-# forces it anywhere (tests use this with the CPU interpreter); False
-# disables.  Euclidean keyed products only -- replay mode and manifold-hook
-# products always use the pure-XLA engine.
-GIBBS_FUSED = "auto"
-
-# Padded candidate width of the fused region: levels whose candidate count
-# fits this run inside the Pallas launch.  128 = one VPU lane row (7 of the
-# 10 levels at 1000 comps); raising it trades more fused levels against
-# VMEM and per-select work on mostly-padding lanes.
-GIBBS_FUSED_WIDTH: int = 128
-
-
 def set_force_eval_direct(flag: bool = False) -> None:
     """API-compatible setter (reference ``setForceEvalDirect!``,
     src/KernelDensityEstimate.jl:56-60).  Dense evaluation is exact on TPU,

@@ -326,60 +326,6 @@ def _select_label(u, logits):
 # the chain kernel
 # ---------------------------------------------------------------------------
 
-def _fused_k(offsets, n_levels: int, euclidean: bool) -> Tuple[int, int]:
-    """Static routing decision for the fused upper-level Pallas engine
-    (ops/gibbs_fused.py): ``(K, W)`` -- the number of leading schedule
-    levels to run in one Pallas launch and the padded candidate width --
-    or ``0`` for the pure-XLA engine.  The fused region is the
-    latency-bound one (each level is a few KB of candidates); it only pays
-    when several levels fuse, so the gate requires >=3."""
-    from .. import config
-    if not euclidean or not config.GIBBS_FUSED:
-        return 0
-    if config.GIBBS_FUSED == "auto":
-        from . import gibbs_fused
-        if jax.default_backend() != "tpu" or gibbs_fused._FUSED_BROKEN:
-            return 0
-    from .gibbs_fused import fused_level_count
-    w = int(config.GIBBS_FUSED_WIDTH)
-    k = fused_level_count(offsets, n_levels, w)
-    return (k, w) if k >= 3 else 0
-
-
-def _run_with_fused_fallback(fn, *args, fused_k, **kwargs):
-    """Dispatch the jitted chain program; under the ``auto`` gate, a fused
-    region that fails to lower/compile disables the fused engine for the
-    process (warning) and the call retries on the pure-XLA engine.
-
-    Mosaic lowering and VMEM-budget errors surface synchronously at the
-    first call of each specialization (trace+compile are eager; only the
-    execution is async), so this catches exactly the configuration being
-    run -- no probe program, no extra device work, no device->host fetch
-    (the D2H cliff).  Failures unrelated to the fused region re-raise
-    unchanged (the retry fails too, and the original error propagates);
-    forced ``GIBBS_FUSED = True`` never falls back (tests).
-    """
-    from .. import config
-    if not fused_k or config.GIBBS_FUSED != "auto":
-        return fn(*args, fused_k=fused_k, **kwargs)
-    from . import gibbs_fused
-    if gibbs_fused._FUSED_BROKEN:   # samplers freeze fused_k at build time
-        return fn(*args, fused_k=0, **kwargs)
-    try:
-        return fn(*args, fused_k=fused_k, **kwargs)
-    except Exception as e:
-        try:
-            out = fn(*args, fused_k=0, **kwargs)
-        except Exception:
-            raise e                     # not the fused region's fault
-        gibbs_fused._FUSED_BROKEN = True
-        logging.getLogger("kde_tpu").warning(
-            "fused Gibbs engine failed to compile/launch (%s: %s); using "
-            "the pure-XLA engine for the rest of the process",
-            type(e).__name__, e)
-        return out
-
-
 def _grouped_vmap(chain, args, n_out: int):
     """``vmap(chain)`` over the leading chain axis, using the grouped
     [G, 1024, ...] layout for large draws (XLA tiles the doubly-vmapped
@@ -422,24 +368,15 @@ def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, mask, *,
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
                      "ndim", "n_levels", "addop", "diffop", "get_mu",
-                     "get_lambda", "add_entropy", "dtype", "fused_k"))
+                     "get_lambda", "add_entropy", "dtype"))
 def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
                     n_out, bu, bn, offsets, n_iter, ndens, ndim, n_levels,
-                    addop, diffop, get_mu, get_lambda, add_entropy, dtype,
-                    fused_k=0):
+                    addop, diffop, get_mu, get_lambda, add_entropy, dtype):
     """Single-dispatch product: RNG stream generation + all chains + output
     transposes fused into ONE executable.  On the axon remote runtime each
     eager dispatch costs a ~1 ms round trip once any result has been
     fetched, so the keyed (non-replay) path folds everything into one
-    program (measured: ~25% per-product latency reduction).
-
-    ``fused_k`` (static, from :func:`_fused_k`): when > 0, levels
-    ``1..fused_k`` run inside ONE Pallas launch that keeps the chain state
-    in VMEM across levels (ops/gibbs_fused.py) -- the latency-bound narrow
-    region of the schedule -- and the XLA chain program resumes at
-    ``fused_k + 1`` for the wide bandwidth-bound levels.  Streams are drawn
-    once in the absolute full-schedule layout, so both engines consume
-    exactly the same per-chain draws."""
+    program (measured: ~25% per-product latency reduction)."""
     ku, kn = jax.random.split(key)
 
     # One flat stream draw for every layout: chain i always consumes row i
@@ -452,30 +389,6 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
     u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
     n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
-    if fused_k:
-        from .gibbs_fused import build_fused_inputs, fused_upper_levels
-        K, W = fused_k
-        S = (1 + n_iter) * ndens
-        _, _, _, lvl_logw_cat, lvl_ms_cat, lvl_perm_cat = lvl_arrays
-        ms, logw, perm = build_fused_inputs(
-            lvl_ms_cat, lvl_logw_cat, lvl_perm_cat, offsets, K, ndens,
-            ndim, W=W)
-        mu0, var0, labels_hi = fused_upper_levels(
-            u[:, ndens:ndens + K * S], n_[:, :K * ndim], ms, logw, perm,
-            mask, t_mean, t_bw, K=K, dn=ndens, d=ndim, n_iter=n_iter, W=W,
-            interpret=jax.default_backend() == "cpu")
-
-        def chain(u_row, n_row, im, iv, ip):
-            return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean,
-                              t_bw, mask, n_iter, ndens, ndim, n_levels,
-                              addop, diffop, get_mu, get_lambda,
-                              add_entropy, start_level=K + 1, init_mu=im,
-                              init_var=iv, init_perms=ip)
-        pts, idx, labels_lo = _grouped_vmap(
-            chain, (u, n_, mu0, var0, labels_hi[:, K - 1, :]), n_out)
-        labels = jnp.concatenate([labels_hi, labels_lo], axis=1)
-        return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
-
     def chain(u_row, n_row):
         return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                           mask, n_iter, ndens, ndim, n_levels,
@@ -486,19 +399,10 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
 
 def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                mask, n_iter, ndens, ndim, n_levels,
-               addop, diffop, get_mu, get_lambda, add_entropy,
-               start_level: int = 1, init_mu=None, init_var=None,
-               init_perms=None):
+               addop, diffop, get_mu, get_lambda, add_entropy):
     """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
     chain's pre-generated uniform/normal streams, laid out in the reference's
     consumption order (see module docstring).
-
-    ``start_level``/``init_*``: resume the schedule mid-way from an explicit
-    chain state -- the handoff point of the fused upper-level Pallas kernel
-    (ops/gibbs_fused.py), which runs levels ``1..start_level-1`` in one
-    launch and leaves the wide (bandwidth-bound) levels to this program.
-    The stream layout is absolute (full-schedule), so resumed chains consume
-    exactly the draws the skipped levels would have left them.
 
     Op-count discipline: on the axon runtime this program is bound by the
     latency of sequential kernel launches (~6.5 us each), so the level loop
@@ -536,12 +440,9 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
 
     # initial selection: every tree's root (node 0); its stats are static
     # slices (updateGlbParticlesVariance!, reference src/MSGibbs01.jl:89-107)
-    if init_mu is None:
-        mu_sel = jnp.where(mask, t_mean[:, 0, :], 0.0)          # [dn, d]
-        var_sel = jnp.where(mask, t_bw[:, 0, :], 0.0)
-        perms = jnp.zeros(ndens, dtype=jnp.int32)
-    else:
-        mu_sel, var_sel, perms = init_mu, init_var, init_perms
+    mu_sel = jnp.where(mask, t_mean[:, 0, :], 0.0)              # [dn, d]
+    var_sel = jnp.where(mask, t_bw[:, 0, :], 0.0)
+    perms = jnp.zeros(ndens, dtype=jnp.int32)
     labels_rec = []
 
     _, lvl_mean_cat, lvl_bw_cat, lvl_logw_cat, lvl_ms_cat, lvl_perm_cat = \
@@ -556,7 +457,7 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
         perm = jnp.sum(jnp.where(onehot, lvl_perm_j, 0))
         return nm, nv, perm
 
-    for l in range(start_level, n_levels + 1):
+    for l in range(1, n_levels + 1):
         o, w = offsets[l - 1]
         lvl_mean = lvl_mean_cat[:, o:o + w]
         lvl_bw = lvl_bw_cat[:, o:o + w]
@@ -703,11 +604,15 @@ def prod_appx_ms_gibbs(npd0,
     elif get_lambda_t is None:
         get_lambda_t = (manifolds.euclid_lambda,) * d
 
-    # A fused per-level Pallas engine was built and A/B-measured against this
-    # jnp program (completion-forced, interleaved): it lost 7x at 1000 chains,
-    # still lost 1.9x at 4096 chains, and VMEM-OOM'd at width-2048 levels --
-    # the single fused XLA program is the engine (BASELINE.md "Engine
-    # comparison"; removed in round 2).
+    # Two Pallas alternatives were built and A/B-measured against this jnp
+    # program (completion-forced, interleaved; BASELINE.md "Engine
+    # comparison"): a per-level kernel engine (lost 7x at 1000 chains, 1.9x
+    # at 4096, VMEM-OOM at width-2048 levels; removed in round 2) and a
+    # fused upper-level engine holding chain state in VMEM across the
+    # narrow levels (labels agreed 1.0000 but lost in every regime on real
+    # TPU: 0.92x single product, 0.97x at 16k chains, 0.80x batched;
+    # removed in round 4, tools/ab_fused_r4_output.txt).  The single fused
+    # XLA program is the engine.
 
     if (rand_u is None) != (rand_n is None):
         raise ValueError(
@@ -720,17 +625,13 @@ def prod_appx_ms_gibbs(npd0,
         # into ONE dispatch (each eager op costs a round trip on the axon
         # runtime once any result has been fetched)
         key = ensure_key(key)
-        euclid = (addop_t is None and diffop_t is None
-                  and get_mu_t is None and get_lambda_t is None)
-        pts_t, idx_t, labels_t = _run_with_fused_fallback(
-            _gibbs_from_key,
+        pts_t, idx_t, labels_t = _gibbs_from_key(
             key, plan.lvl_arrays, plan.t_mean, plan.t_bw, mask,
             n_out=n_out, bu=bu, bn=bn, offsets=tuple(plan.offsets),
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
             addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
             get_lambda=get_lambda_t, add_entropy=add_entropy,
-            dtype=jnp.dtype(dtype).name,
-            fused_k=_fused_k(tuple(plan.offsets), n_levels, euclid))
+            dtype=jnp.dtype(dtype).name)
         out = (pts_t, idx_t)
         if record_labels:
             out = out + (labels_t,)
@@ -877,6 +778,7 @@ def product_batched(density_sets,
     n_out = int(round(float(np.mean(npts0))))
     sampler = BatchedProductSampler(sets, n_out=n_out, n_iter=n_iter,
                                     add_entropy=add_entropy, mesh=mesh)
+    addop, diffop, get_mu, get_lambda = sampler.hooks
     key = ensure_key(key)
     pts, _ = sampler.sample(key)                     # [B, d, n_out]
     B, d, n = pts.shape
@@ -889,22 +791,33 @@ def product_batched(density_sets,
                       impl=select_loo_impl(n, pts.dtype),
                       chunk=int(config.LOOCV_CHUNK))  # [B*d]
     var = bwds.reshape(B, d) ** 2                    # [B, d]
+    # output densities carry the batch's manifold hooks, as product() does
+    # (the refit bandwidth itself stays Euclidean, like the reference's
+    # kde!(pGM), src/MSGibbs01.jl:725)
     return [KDE(pts[b].T, jnp.tile(var[b][None, :], (n, 1)),
-                jnp.full((n,), 1.0 / n, dtype=pts.dtype))
+                jnp.full((n,), 1.0 / n, dtype=pts.dtype),
+                addop=addop, diffop=diffop,
+                get_mu=get_mu, get_lambda=get_lambda)
             for b in range(B)]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
-                     "ndim", "n_levels", "add_entropy", "dtype", "fused_k"))
+                     "ndim", "n_levels", "addop", "diffop", "get_mu",
+                     "get_lambda", "add_entropy", "dtype"))
 def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
                         mask, *, n_out, bu, bn, offsets, n_iter, ndens,
-                        ndim, n_levels, add_entropy, dtype, fused_k=0):
+                        ndim, n_levels, addop, diffop, get_mu, get_lambda,
+                        add_entropy, dtype):
     """B independent products over B density sets in ONE dispatch: the plan
     arrays carry a leading set axis and the whole keyed product is vmapped
     over it.  ``key`` is split into one key per set, so set ``i``'s output
-    equals a standalone ``prod_appx_ms_gibbs`` call with ``split(key)[i]``."""
+    equals a standalone ``prod_appx_ms_gibbs`` call with ``split(key)[i]``.
+    Manifold hooks (static per-dim callables, shared by every set -- the
+    NBP serving pattern fuses the same variable type across messages,
+    reference src/MSGibbs01.jl:672-675) trace into the vmapped chain kernel
+    exactly as in the single-product program."""
     B = t_mean.shape[0]
     keys = jax.random.split(key, B)
 
@@ -912,9 +825,8 @@ def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
         return _gibbs_from_key(
             k, lvl, tm, tb, m, n_out=n_out, bu=bu, bn=bn,
             offsets=offsets, n_iter=n_iter, ndens=ndens, ndim=ndim,
-            n_levels=n_levels, addop=None, diffop=None, get_mu=None,
-            get_lambda=None, add_entropy=add_entropy, dtype=dtype,
-            fused_k=fused_k)
+            n_levels=n_levels, addop=addop, diffop=diffop, get_mu=get_mu,
+            get_lambda=get_lambda, add_entropy=add_entropy, dtype=dtype)
     return jax.vmap(one)(keys, lvl_arrays, t_mean, t_bw, mask)
 
 
@@ -965,21 +877,24 @@ class BatchedProductSampler:
             raise ValueError("all density sets must share "
                              "(ndens, ndim, per-position npts); "
                              f"got {sorted(shapes)}")
-        for ds in sets:
-            for p in ds:
-                if not (manifolds.is_euclidean(p.addop, manifolds.euclid_add)
-                        and manifolds.is_euclidean(p.diffop,
-                                                   manifolds.euclid_diff)
-                        and manifolds.is_euclidean(
-                            getattr(p, "get_mu", None), manifolds.euclid_mu)
-                        and manifolds.is_euclidean(
-                            getattr(p, "get_lambda", None),
-                            manifolds.euclid_lambda)):
-                    raise ValueError(
-                        "BatchedProductSampler does not support manifold "
-                        "addop/diffop/get_mu/get_lambda hooks; use "
-                        "prod_appx_ms_gibbs (or product()) per product "
-                        "for on-manifold densities")
+        # density-attached manifold hooks flow into the batched engine
+        # exactly as in ProductSampler (same per-set consistency rule);
+        # the hooks are static callables shared by the whole batch, so
+        # every set must carry the identical quadruple (the NBP serving
+        # pattern multiplies messages of ONE variable type per batch,
+        # reference src/MSGibbs01.jl:672-675)
+        set_hooks = [_density_hooks(ds) for ds in sets]
+        self.hooks = set_hooks[0]
+
+        def _key(hooks):
+            return tuple(tuple(h) if isinstance(h, tuple) else h
+                         for h in hooks)
+        if any(_key(h) != _key(self.hooks) for h in set_hooks[1:]):
+            raise ValueError(
+                "all density sets in one batch must carry identical "
+                "manifold hooks (the hooks describe the shared product "
+                "space of the batch; build separate samplers per variable "
+                "type)")
         dtype = self.dtype or sets[0][0].dtype    # no lazy device upload
         impls = [_resolve_plan_impl(ds, self.plan_impl, False) for ds in sets]
         if len(set(impls)) > 1:
@@ -1018,12 +933,6 @@ class BatchedProductSampler:
         self.bu = self.ndens * (1 + self.n_levels * (1 + self.n_iter))
         self.bn = self.ndim * (self.n_levels + 1)
         self._dtype_name = jnp.dtype(dtype).name
-        # engine choice frozen at build time (as ProductSampler).
-        # Set-sharded batches keep the pure-XLA engine: the partitioner
-        # treats pallas_call as an opaque custom call, so auto-sharding a
-        # vmapped kernel over the mesh axis is not reliably supported.
-        self._fused_k = (_fused_k(self.offsets, self.n_levels, True)
-                         if self.mesh is None else 0)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             axis = self.mesh.axis_names[0]
@@ -1048,14 +957,15 @@ class BatchedProductSampler:
     def sample(self, key):
         """Returns (points [B, d, n_out], labels [B, ndens, n_out])."""
         key = ensure_key(key)
-        pts, idx, _ = _run_with_fused_fallback(
-            _gibbs_batched_sets,
+        addop, diffop, get_mu, get_lambda = self.hooks
+        pts, idx, _ = _gibbs_batched_sets(
             key, self.lvl_arrays, self.t_mean, self.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu,
             bn=self.bn, offsets=self.offsets, n_iter=self.n_iter,
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
-            add_entropy=self.add_entropy, dtype=self._dtype_name,
-            fused_k=self._fused_k)
+            addop=addop, diffop=diffop, get_mu=get_mu,
+            get_lambda=get_lambda, add_entropy=self.add_entropy,
+            dtype=self._dtype_name)
         return pts, idx
 
 
@@ -1094,25 +1004,18 @@ class ProductSampler:
         self.mask = jnp.asarray(self.mask_np)
         self.bu = dn * (1 + self.plan.n_levels * (1 + n_iter))
         self.bn = d * (self.plan.n_levels + 1)
-        # engine choice is frozen at build time (stable engine per sampler;
-        # A/B harnesses toggle config around construction, not per call)
-        euclid = all(h is None for h in self.hooks)
-        self._fused_k = _fused_k(tuple(self.plan.offsets),
-                                 self.plan.n_levels, euclid)
 
     def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
         key = ensure_key(key)
         p = self.plan
         addop, diffop, get_mu, get_lambda = self.hooks
-        pts_t, idx_t, _ = _run_with_fused_fallback(
-            _gibbs_from_key,
+        pts_t, idx_t, _ = _gibbs_from_key(
             key, p.lvl_arrays, p.t_mean, p.t_bw,
             self.mask, n_out=self.n_out, bu=self.bu, bn=self.bn,
             offsets=tuple(p.offsets), n_iter=self.n_iter, ndens=p.ndens,
             ndim=p.ndim, n_levels=p.n_levels, addop=addop, diffop=diffop,
             get_mu=get_mu, get_lambda=get_lambda,
             add_entropy=self.add_entropy,
-            dtype=jnp.dtype(self.dtype).name,
-            fused_k=self._fused_k)
+            dtype=jnp.dtype(self.dtype).name)
         return pts_t, idx_t

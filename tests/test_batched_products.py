@@ -66,6 +66,85 @@ def test_partial_dim_masks_per_set():
         np.testing.assert_array_equal(np.asarray(ii), np.asarray(idx[i]))
 
 
+def _se2_hooks():
+    from kde_tpu import manifolds
+    return dict(
+        addop=(manifolds.euclid_add, manifolds.circular_add),
+        diffop=(manifolds.euclid_diff, manifolds.circular_diff),
+        get_mu=(manifolds.euclid_mu, manifolds.circular_mu),
+        get_lambda=(manifolds.euclid_lambda, manifolds.circular_lambda))
+
+
+def _se2_sets(rng, B=3, n=32):
+    """B SE(2)-style message sets: Euclidean x + circular heading near the
+    +/-pi wrap (the NBP serving consumer, examples/se2_fusion.py)."""
+    SE2 = _se2_hooks()
+    wrap = lambda a: a - 2 * np.pi * np.round(a / (2 * np.pi))
+    sets = []
+    for i in range(B):
+        mk = lambda th: kde(
+            np.vstack([2.0 + 0.1 * i + 0.1 * rng.normal(size=n),
+                       wrap(th + 0.05 * rng.normal(size=n))]),
+            [0.1, 0.05], dtype=jnp.float32, **SE2)
+        sets.append([mk(np.pi - 0.15), mk(-np.pi + 0.15)])
+    return sets
+
+
+def test_batched_manifold_hooks_equal_individual():
+    """Manifold hooks flow through the batched engine: set i's output must
+    equal a standalone hooked prod_appx_ms_gibbs keyed with split(key)[i]
+    (VERDICT r3 task 4 -- the NBP serving pattern IS the SE(2)/circular
+    consumer, reference src/MSGibbs01.jl:672-675)."""
+    rng = np.random.default_rng(7)
+    B = 3
+    sets = _se2_sets(rng, B=B)
+    s = BatchedProductSampler(sets, n_out=16, n_iter=2)
+    key = jax.random.PRNGKey(11)
+    pts, idx = s.sample(key)
+    keys = jax.random.split(key, B)
+    hit_wrap = 0
+    # prod_appx_ms_gibbs mirrors the reference signature: hooks are explicit
+    # kwargs (the batched sampler reads them off the densities instead)
+    SE2 = _se2_hooks()
+    for i in range(B):
+        pi, ii = prod_appx_ms_gibbs(16, sets[i], n_iter=2, key=keys[i],
+                                    **SE2)
+        np.testing.assert_array_equal(np.asarray(ii), np.asarray(idx[i]))
+        np.testing.assert_allclose(np.asarray(pi), np.asarray(pts[i]),
+                                   rtol=1e-6)
+        # the hooks actually bind: fused heading sits at the wrap, where a
+        # silent-Euclidean product would average +3.0 and -3.0 to ~0
+        hit_wrap += np.mean(np.abs(np.asarray(pts[i])[1]) > np.pi / 2)
+    assert hit_wrap / B > 0.9
+
+
+def test_product_batched_carries_hooks():
+    """product_batched outputs carry the batch's manifold hooks (as
+    product() does) and sample on-manifold."""
+    from kde_tpu import manifolds, product_batched
+    rng = np.random.default_rng(8)
+    sets = _se2_sets(rng, B=2)
+    outs = product_batched(sets, key=jax.random.PRNGKey(2))
+    assert len(outs) == 2
+    for q in outs:
+        assert q.get_mu[1] is manifolds.circular_mu
+        assert q.addop[0] is manifolds.euclid_add
+        pts = np.asarray(q.get_points())
+        assert np.mean(np.abs(pts[1]) > np.pi / 2) > 0.9
+        assert q._host_points is None          # still no-readback end to end
+
+
+def test_batched_mixed_hooks_rejected():
+    """Sets with different hook quadruples cannot share one batch (the
+    hooks describe the batch's product space)."""
+    rng = np.random.default_rng(9)
+    hooked = _se2_sets(rng, B=1)[0]
+    plain = [kde(rng.normal(size=(2, 32)), [0.4], dtype=jnp.float32)
+             for _ in range(2)]
+    with pytest.raises(ValueError, match="identical manifold hooks"):
+        BatchedProductSampler([hooked, plain], n_out=16)
+
+
 def test_set_sharded_equals_unsharded():
     """Sharding the set axis over a mesh (graph-parallel BP deployment)
     changes nothing: labels and points are exactly the unsharded ones."""

@@ -184,6 +184,76 @@ def test_replay_parity_degenerate_far_apart():
                                atol=1e-12)
 
 
+def test_replay_degenerate_zero_last_weight():
+    """Pin the ZERO-LAST-WEIGHT degenerate corner (the one deliberate
+    behavioral divergence from the reference, PARITY.md "degenerate
+    fallback").
+
+    When a selection's candidate total underflows 1e-99, the reference
+    assigns every candidate the LAST level-list node's weight
+    (src/MSGibbs01.jl:311-315).  If that weight is 0 the reference's CDF
+    degenerates to all-zeros and its scan (:330-351) falls through to the
+    LAST candidate -- i.e. it deterministically selects the zero-weight
+    kernel.  kde_tpu documents uniform-over-candidates instead
+    (reference_impl.py): the fallback CDF is uniform over the level list
+    regardless of the last node's weight.
+
+    Fixture: 1-D densities 1e4 bandwidths apart (every selection
+    degenerate), each with its LARGEST point (the last leaf of the sorted
+    1-D tree) at weight 0.  With every injected uniform at 0.1, the uniform
+    fallback selects candidate 0 at every level in ALL engines (serial
+    oracle, XLA, kernel-sharded(8)); the reference would return the
+    zero-weight last leaf instead.  Asserts trace equality across the
+    engines AND the selected-label semantics directly."""
+    import jax
+    from jax.sharding import Mesh
+    from kde_tpu.parallel.gibbs_kernel_sharded import (
+        prod_appx_ms_gibbs_kernel_sharded)
+    from kde_tpu.parallel.mesh import KERNELS
+
+    d, n, n_out, n_iter = 1, 4, 4, 2
+    # input order ascending: leaf order == input order, so input index 3
+    # (value 3.0, the largest) is the LAST leaf -- give it weight 0
+    pts = np.arange(float(n))[None, :]                      # [1, 4]
+    w = np.array([0.4, 0.3, 0.3, 0.0])
+    dens = [kde(pts, [0.1], weights=w),
+            kde(pts + 1e4, [0.1], weights=w)]
+
+    L = int(np.floor(np.log2(max(n, n_out)))) + 1
+    bu = n_out * 2 * (1 + L * (1 + n_iter))
+    bn = n_out * d * (L + 1)
+    ru = np.full(bu, 0.1)
+    rn = np.zeros(bn)
+
+    # sanity: the corner is live -- the serial oracle's fallback fires with
+    # a zero-weight last candidate at the leaf level
+    pts_s, idx_s, lab_s = serial_gibbs_product(
+        [p.tree for p in dens], n_out, n_iter, ru, rn)
+    pts_v, idx_v, lab_v = prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn, record_labels=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), (KERNELS,))
+    pts_k, idx_k, lab_k = prod_appx_ms_gibbs_kernel_sharded(
+        mesh, n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn,
+        record_labels=True)
+
+    # engines agree exactly
+    np.testing.assert_array_equal(np.asarray(idx_v), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_v), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_v), pts_s, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(idx_k), idx_s)
+    np.testing.assert_array_equal(np.asarray(lab_k), lab_s)
+    np.testing.assert_allclose(np.asarray(pts_k), pts_s, rtol=1e-9,
+                               atol=1e-12)
+
+    # the documented semantics: u=0.1 under the uniform fallback selects
+    # candidate 0 (CDF 0.25 at the 4-wide leaf level), so every final label
+    # is input index 0 -- NOT the reference's fall-to-last (which would
+    # deterministically return 3, the zero-weight kernel)
+    np.testing.assert_array_equal(idx_s, np.zeros((2, n_out), np.int64))
+    assert not np.any(idx_s == 3)
+
+
 def test_replay_parity_marginal_overlap():
     """Intermediate regime: kernel likelihoods small but ABOVE the 1e-99
     threshold (densities ~15 bandwidths apart, logits ~ -100): the fallback
