@@ -175,6 +175,32 @@ def main():
         lambda r: serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
                                             np.random.default_rng(r)))
 
+    # --- scale row: 2x50,000-comp 2-D product (BASELINE.md scale envelope) --
+    # The HBM-bound regime: per-sample work is O(N) at the leaf level, so at
+    # 50k components the level stages are [chains, 50k] ~ 50 MB and the
+    # program runs at the bandwidth roofline instead of the dispatch-latency
+    # floor.  Continuously measured here so the envelope claim stays a
+    # recorded number (VERDICT r3 task 6).
+    n_big = 50_000
+    big = [kde(rng.normal(size=(2, n_big)).astype(np.float32),
+               [float(1.06 * n_big ** -0.2)], dtype=dtype),
+           kde((rng.normal(size=(2, n_big)) + 0.5).astype(np.float32),
+               [float(1.06 * n_big ** -0.2)], dtype=dtype)]
+    n_out_big = 256
+    rate = tpu_pipelined(
+        lambda s: prod_appx_ms_gibbs(n_out_big, big, n_iter=N_ITER,
+                                     key=jax.random.PRNGKey(s))[0],
+        reps=6, rounds=6, per_call=n_out_big)
+    tbig = [p.tree for p in big]
+    cpu = 4 / cpu_best(
+        lambda r: serial_gibbs_product_fast(tbig, 4, N_ITER,
+                                            np.random.default_rng(r)),
+        rounds=2)
+    results.append({
+        "metric": "2D product 2x50000-comp Niter=5 (scale envelope)",
+        "value": round(rate, 1), "unit": "samples/s",
+        "vs_baseline": round(rate / cpu, 2)})
+
     # --- config 1: 1-D LOOCV fit + evaluate + resample (README.md:36-38) ----
     x1d = np.concatenate([rng.normal(size=50), 10.0 + 2.0 * rng.normal(size=50)])
     grid = np.linspace(x1d.min(), x1d.max(), 200)
@@ -275,12 +301,18 @@ def main():
     def star4(s):
         pq = product([p4, q4], key=jax.random.PRNGKey(s))
         return jnp.sum(pq.points) + jnp.sum(pq.bw)
+    # throughput form: queue several end-to-end `*` flows per completion
+    # fence (the metric is samples/s; fencing every call would measure the
+    # ~30 ms axon fetch RTT, not the framework -- BASELINE.md "pipelining
+    # vs the fetch RTT").  The serial baseline needs no such treatment:
+    # the CPU has no dispatch round trip to hide.
     fence(star4(0))
+    reps4 = 6
     t_best = 1e9
     for r in range(6):
         t0 = time.perf_counter()
-        fence(star4(r + 1))
-        t_best = min(t_best, time.perf_counter() - t0)
+        fence(*[star4(reps4 * r + i + 1) for i in range(reps4)])
+        t_best = min(t_best, (time.perf_counter() - t0) / reps4)
     t4 = [p4.tree, q4.tree]
 
     def cpu4(r):

@@ -32,6 +32,19 @@ LOOCV_PAIR_LIMIT: int = 1 << 28
 # Query-block size for the tiled (non-Pallas) LOO entropy path.
 LOOCV_CHUNK: int = 1024
 
+# Golden-search iterations unrolled straight into the LOOCV program when the
+# probe is the DENSE (small-N) entropy kernel.  Each lax.while_loop iteration
+# costs ~1 ms of dispatch latency on the axon remote runtime, while an
+# unrolled stage inside the same program costs tens of us; the search
+# typically converges in 10-30 iterations (tol 1e-2), so unrolling turns the
+# reference's product-then-refit `*` tail (src/MSGibbs01.jl:725) from
+# ~30 round trips into one program.  A while_loop backstop still covers the
+# rare straggler bracket past this count.  0 disables unrolling.  The
+# compute-bound tiled/Pallas probes (large N) keep the loop form: there the
+# probe itself dominates and unrolled stages would pay full compute for
+# already-converged dims.
+GOLDEN_UNROLL: int = 32
+
 # -- size-gated HOST fast paths (ops/host_small.py) ---------------------------
 # On the axon remote-TPU runtime every dispatch is a network round trip
 # (~1 ms in the degraded regime, ~30 ms for a blocking fetch), so

@@ -441,7 +441,7 @@ def kde(points,
 def _kde_device(points: Array, bw, weights, addop, diffop,
                 get_mu=None, get_lambda=None, dtype=None) -> KDE:
     """Device-array constructor path of :func:`kde` (no host readbacks)."""
-    from .ops.loocv import ksize_bandwidths_device
+    from .ops.loocv import device_fit_arrays
 
     if dtype is None:
         dtype = points.dtype
@@ -453,28 +453,34 @@ def _kde_device(points: Array, bw, weights, addop, diffop,
     if pts.ndim == 1:
         pts = pts[None, :]
     d, n = pts.shape
-    pts_nd = pts.T                                   # [N, d]
 
+    if bw is None:
+        # the whole LOOCV fit -- bracket, golden search, weight fill and
+        # bandwidth->variance tiling -- as ONE jitted program: the `*`
+        # operator's refit tail (reference src/MSGibbs01.jl:724-725) was
+        # paying ~1 ms of degraded-dispatch round trip per stray op
+        # (transpose/full/tile) on the axon runtime
+        pts_nd, var, w = device_fit_arrays(pts, weights)
+        return KDE(pts_nd, var, w, multibandwidth=False,
+                   addop=addop, diffop=diffop, get_mu=get_mu,
+                   get_lambda=get_lambda)
+
+    pts_nd = pts.T                                   # [N, d]
     if weights is None:
         w = jnp.full((n,), 1.0 / n, dtype=dtype)
     else:
         w = jnp.asarray(weights, dtype=dtype).reshape(n)
         w = w / jnp.sum(w)
 
-    if bw is None:
-        bwds = ksize_bandwidths_device(pts_nd, w, dtype=dtype)
-        var = jnp.tile(bwds[None, :] ** 2, (n, 1))
+    bwa = jnp.asarray(bw, dtype=dtype)
+    if bwa.ndim == 0 or bwa.size == 1:
+        bwa = jnp.full((d,), bwa.reshape(-1)[0], dtype=dtype)
+    if bwa.ndim == 1:
+        var = jnp.tile(bwa.reshape(d)[None, :] ** 2, (n, 1))
         multibw = False
     else:
-        bwa = jnp.asarray(bw, dtype=dtype)
-        if bwa.ndim == 0 or bwa.size == 1:
-            bwa = jnp.full((d,), bwa.reshape(-1)[0], dtype=dtype)
-        if bwa.ndim == 1:
-            var = jnp.tile(bwa.reshape(d)[None, :] ** 2, (n, 1))
-            multibw = False
-        else:
-            var = (bwa.reshape(d, n) ** 2).T         # [N, d]
-            multibw = True
+        var = (bwa.reshape(d, n) ** 2).T             # [N, d]
+        multibw = True
 
     return KDE(pts_nd, var, w, multibandwidth=multibw,
                addop=addop, diffop=diffop, get_mu=get_mu,

@@ -173,6 +173,13 @@ def _resolve_plan_impl(densities: Sequence[KDE], plan: str,
     return plan
 
 
+@functools.lru_cache(maxsize=64)
+def _full_mask_dev(dn: int, d: int):
+    """Device copy of the all-true partial-dim mask (uploaded once per
+    shape; the default full-dimension case is every non-partial product)."""
+    return jnp.asarray(np.ones((dn, d), dtype=bool))
+
+
 def _get_plan(densities: Sequence[KDE], n_out: int, dtype,
               impl: str = "host") -> _ProductPlan:
     import weakref
@@ -579,10 +586,12 @@ def prod_appx_ms_gibbs(npd0,
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
     if partial_dim_mask is None:
-        mask_np = np.ones((dn, d), dtype=bool)
+        # cached device constant: re-uploading the all-true mask per call
+        # is a ~1 ms dispatch round trip in the degraded axon regime
+        mask = _full_mask_dev(dn, d)
     else:
-        mask_np = np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d)
-    mask = jnp.asarray(mask_np)
+        mask = jnp.asarray(
+            np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d))
 
     addop_t = manifolds.broadcast_ops(addop, d)
     diffop_t = manifolds.broadcast_ops(diffop, d)
@@ -768,7 +777,8 @@ def product_batched(density_sets,
     products share one search batch), so the whole pipeline is two
     dispatches regardless of B and fully device-resident.
     """
-    from .loocv import _internal_slices, ksize_rows, select_loo_impl
+    from .loocv import (_internal_slices_dev, golden_unroll, ksize_rows,
+                        select_loo_impl)
     from .. import config
 
     sets = [list(ds) for ds in density_sets]
@@ -782,14 +792,15 @@ def product_batched(density_sets,
     key = ensure_key(key)
     pts, _ = sampler.sample(key)                     # [B, d, n_out]
     B, d, n = pts.shape
-    lo, hi = _internal_slices(n)
+    lo, hi = _internal_slices_dev(n)
     # the B x d golden searches fold into ONE ksize_rows batch (product
     # outputs are uniform-weight, so all rows share one weight vector)
+    impl = select_loo_impl(n, pts.dtype)
     bwds = ksize_rows(pts.reshape(B * d, n),
                       jnp.full((n,), 1.0 / n, dtype=pts.dtype),
-                      jnp.asarray(lo), jnp.asarray(hi),
-                      impl=select_loo_impl(n, pts.dtype),
-                      chunk=int(config.LOOCV_CHUNK))  # [B*d]
+                      lo, hi,
+                      impl=impl, chunk=int(config.LOOCV_CHUNK),
+                      unroll=golden_unroll(impl))    # [B*d]
     var = bwds.reshape(B, d) ** 2                    # [B, d]
     # output densities carry the batch's manifold hooks, as product() does
     # (the refit bandwidth itself stays Euclidean, like the reference's

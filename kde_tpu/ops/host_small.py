@@ -114,39 +114,61 @@ def ksize_host_np(pts_nd: np.ndarray, w: np.ndarray,
     ii = np.arange(n)
     log1p_negw = np.log1p(-w)
     w_pos = w > 0
+    all_pos = bool(w_pos.all())
     w_mask = np.where(w_pos, w, 0.0)
     const = -0.5 * LOG_2PI - log1p_negw
+    # probe-independent scalars for the fused all-positive objective below
+    w_const = float(np.dot(w, const))
     out = np.empty(d)
     buf = np.empty((n, n))
-    for k in range(d):
-        x = rows[k]
-        d2 = (x[:, None] - x[None, :]) ** 2
-        d2[ii, ii] = np.inf                                  # LOO mask
-        # nearest POSITIVE-WEIGHT neighbor: the shift must come from a
-        # kernel that actually contributes to pq, else a zero-weight
-        # nearest neighbor leaves pq free to underflow to 0 (-inf logp)
-        # where the device's weighted max-shift stays finite
-        dmin = np.min(np.where(w_pos[None, :], d2, np.inf), axis=1)
-        dmin[~np.isfinite(dmin)] = 0.0          # n==1 / no-live-nbr guard
-        D = d2 - dmin[:, None]                  # 0 at the live argmin
-        # dead kernels: exp -> 0 exactly (a closer zero-weight kernel
-        # would otherwise overflow exp and poison `buf @ w` with inf*0)
-        D[:, ~w_pos] = np.inf
-        base_var = base_sd[k] ** 2
+    with np.errstate(divide="ignore"):          # n==1 / far queries -> -inf
+        for k in range(d):
+            x = rows[k]
+            d2 = (x[:, None] - x[None, :]) ** 2
+            d2[ii, ii] = np.inf                              # LOO mask
+            # nearest POSITIVE-WEIGHT neighbor: the shift must come from a
+            # kernel that actually contributes to pq, else a zero-weight
+            # nearest neighbor leaves pq free to underflow to 0 (-inf logp)
+            # where the device's weighted max-shift stays finite
+            dmin = np.min(np.where(w_pos[None, :], d2, np.inf), axis=1)
+            dmin[~np.isfinite(dmin)] = 0.0      # n==1 / no-live-nbr guard
+            D = d2 - dmin[:, None]              # 0 at the live argmin
+            # dead kernels: exp -> 0 exactly (a closer zero-weight kernel
+            # would otherwise overflow exp and poison `buf @ w` with inf*0)
+            D[:, ~w_pos] = np.inf
+            base_var = base_sd[k] ** 2
+            w_dmin = float(np.dot(w, dmin))
 
-        def nloo(alpha):
-            var = base_var * alpha * alpha
-            a = -0.5 / var
-            np.multiply(D, a, out=buf)
-            np.exp(buf, out=buf)
-            pq = buf @ w                                     # sum_j w_j e^..
-            with np.errstate(divide="ignore"):               # n==1 -> -inf
-                logp = np.log(pq) + a * dmin \
-                    + (const - 0.5 * np.log(var))
-            return -np.dot(w_mask, np.where(w_pos, logp, 0.0))
-        xmin, _ = _golden_scalar(nloo, float(ax[k]), float(bx[k]),
-                                 float(cx[k]), tol)
-        out[k] = xmin * base_sd[k]
+            if all_pos:
+                # fused objective: -sum_i w_i logp_i with the probe-
+                # independent pieces folded to scalars --
+                #   logp = log(pq) + a*dmin + const - 0.5*log(var)
+                # => nll = -w.log(pq) - a*(w.dmin) - w.const + 0.5 log(var)
+                # (sum w == 1).  Same math as the general branch; only the
+                # summation grouping differs (f64 noise ~1e-16, far below
+                # the golden search's decision margins).
+                def nloo(alpha):
+                    var = base_var * alpha * alpha
+                    a = -0.5 / var
+                    np.multiply(D, a, out=buf)
+                    np.exp(buf, out=buf)
+                    pq = buf @ w                             # sum_j w_j e^..
+                    np.log(pq, out=pq)
+                    return (-np.dot(w, pq) - a * w_dmin - w_const
+                            + 0.5 * np.log(var))
+            else:
+                def nloo(alpha):
+                    var = base_var * alpha * alpha
+                    a = -0.5 / var
+                    np.multiply(D, a, out=buf)
+                    np.exp(buf, out=buf)
+                    pq = buf @ w                             # sum_j w_j e^..
+                    logp = np.log(pq) + a * dmin \
+                        + (const - 0.5 * np.log(var))
+                    return -np.dot(w_mask, np.where(w_pos, logp, 0.0))
+            xmin, _ = _golden_scalar(nloo, float(ax[k]), float(bx[k]),
+                                     float(cx[k]), tol)
+            out[k] = xmin * base_sd[k]
     return out
 
 
@@ -164,10 +186,15 @@ def log_eval_np(query: np.ndarray, means: np.ndarray, var: np.ndarray,
                + np.sum(np.log(var), axis=1))[None, :])      # [M, N]
     with np.errstate(divide="ignore"):                       # w==0 -> -inf
         logits = np.log(weights)[None, :] - 0.5 * quad
-    lmax = np.max(logits, axis=1)
-    lmax_s = np.where(np.isfinite(lmax), lmax, 0.0)
-    with np.errstate(divide="ignore"):
-        lse = lmax + np.log(np.sum(np.exp(logits - lmax_s[:, None]), axis=1))
+        lmax = np.max(logits, axis=1)
+        if np.isfinite(lmax).all():                          # common case
+            np.subtract(logits, lmax[:, None], out=logits)
+            np.exp(logits, out=logits)
+            lse = lmax + np.log(logits @ np.ones(logits.shape[1]))
+        else:
+            lmax_s = np.where(np.isfinite(lmax), lmax, 0.0)
+            lse = lmax + np.log(
+                np.sum(np.exp(logits - lmax_s[:, None]), axis=1))
     return lse - 0.5 * d * LOG_2PI
 
 

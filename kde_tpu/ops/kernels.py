@@ -199,6 +199,49 @@ def entropy_kernel(points: jnp.ndarray,
     return -eval_avg_logl_from_logp(logp, weights)
 
 
+def loo_pairwise_d2(points: jnp.ndarray) -> jnp.ndarray:
+    """``[d, N, N]`` squared pairwise differences of ``d`` independent 1-D
+    rows, with ``+inf`` on the diagonal (the LOO mask).
+
+    The probe-independent part of the LOOCV entropy: the golden search
+    evaluates 10-30 probes that differ ONLY in the variance scale, so
+    hoisting the distances out of the probe turns every unrolled probe into
+    one fused elementwise+reduce stage (the matmul quadratic-form
+    decomposition of :func:`pairwise_quad` would re-enter the MXU per probe
+    -- at the small N where the dense path is used, kernel-launch count
+    dominates, not FLOPs).  Uses the direct ``(x_i - x_j)^2`` form -- the
+    same formula as the host fast path (ops/host_small.py), so host/device
+    f64 selections agree even more tightly than the matmul form did."""
+    diff = points[:, :, None] - points[:, None, :]
+    d2 = diff * diff
+    eye = jnp.eye(points.shape[1], dtype=bool)
+    return jnp.where(eye[None, :, :], jnp.inf, d2)
+
+
+def loo_entropy_given_d2(d2: jnp.ndarray,
+                         var: jnp.ndarray,
+                         weights: jnp.ndarray) -> jnp.ndarray:
+    """``[d]`` LOO entropies of 1-D KDEs from precomputed distances.
+
+    Identical selection semantics to the dense :func:`batched_loo_entropy`
+    path: per-row ``-sum_j w_j log p_-j(x_j)`` with the ``1/(1-w_j)`` LOO
+    rescale (reference src/DualTree01.jl:333-336) and the zero-likelihood
+    guards of :func:`eval_avg_logl_from_logp` (a positive-weight point with
+    p == 0 drives the entropy to +inf; zero-weight kernels contribute
+    nothing)."""
+    logw = jnp.log(weights)                           # -inf for w == 0
+    logits = (logw[None, None, :]
+              - 0.5 * (d2 / var[:, None, None]
+                       + jnp.log(var)[:, None, None]))  # [d, N, N]
+    lse = jax.scipy.special.logsumexp(logits, axis=2)   # [d, N]
+    logp = lse - 0.5 * LOG_2PI - jnp.log1p(-weights)[None, :]
+    pos = weights[None, :] > 0
+    safe = jnp.where(pos, logp, 0.0)
+    ll = jnp.sum(jnp.where(pos, weights[None, :] * safe, 0.0), axis=1)
+    bad = jnp.any(jnp.isneginf(logp) & pos, axis=1)
+    return jnp.where(bad, jnp.inf, -ll)
+
+
 @functools.partial(jax.jit, static_argnames=("diffop", "impl", "chunk"))
 def batched_loo_entropy(points: jnp.ndarray,
                         var_scale: jnp.ndarray,

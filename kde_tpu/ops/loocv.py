@@ -50,8 +50,20 @@ def golden_batched(f, ax, bx, cx, tol):
     return np.asarray(xmin), np.asarray(fmin)
 
 
-def _golden_core(f, ax, bx, cx, tol):
-    """Traceable core of :func:`golden_batched` (jnp in, jnp out)."""
+def _golden_core(f, ax, bx, cx, tol, unroll=0):
+    """Traceable core of :func:`golden_batched` (jnp in, jnp out).
+
+    ``unroll`` > 0 unrolls the first ``unroll`` iterations straight into the
+    program (masked updates -- converged elements freeze exactly as in the
+    loop form, so the trajectory is identical) and keeps a ``while_loop``
+    only as the backstop tail.  On the axon remote-TPU runtime each
+    ``while_loop`` iteration costs ~1 ms of dispatch latency (vs ~tens of
+    us for an unrolled stage inside the same program -- BASELINE.md
+    "Roofline"), which made the ~25-30-probe search the dominant cost of
+    the reference's product-then-refit ``*`` path (src/MSGibbs01.jl:725).
+    Unrolling is only worth it when each probe is latency- rather than
+    compute-bound; callers gate it on the dense (small-N) entropy impl.
+    """
     from jax import lax
 
     ft = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -95,8 +107,12 @@ def _golden_core(f, ax, bx, cx, tol):
         nf2 = jnp.where(take2, fp, jnp.where(take1, f1, f2))
         return it + 1, nx0, nx1, nx2, nx3, nf1, nf2
 
-    _, x0, x1, x2, x3, f1, f2 = lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), x0, x1, x2, x3, f1, f2))
+    st = (jnp.asarray(0, jnp.int32), x0, x1, x2, x3, f1, f2)
+    for _ in range(min(int(unroll), max_iters)):
+        st = body(st)
+    if int(unroll) < max_iters:
+        st = lax.while_loop(cond, body, st)
+    _, x0, x1, x2, x3, f1, f2 = st
     xmin = jnp.where(f1 < f2, x1, x2)
     fmin = jnp.minimum(f1, f2)
     return xmin, fmin
@@ -151,27 +167,59 @@ def ksize_bandwidths(points: np.ndarray,
     # (VERDICT r1 #2 -- joins the tiled evaluator to the golden search).
     # Routing uses the REALIZED dtype (jnp canonicalizes f64 requests to
     # f32 when x64 is off -- those arrays do qualify for the Pallas path).
+    impl = select_loo_impl(n, pts_t.dtype)
     xmin = _ksize_search(pts_t, base_var, w_j, jnp.asarray(ax),
                          jnp.asarray(bx), jnp.asarray(cx), tol=float(tol),
-                         impl=select_loo_impl(n, pts_t.dtype),
-                         chunk=int(config.LOOCV_CHUNK))
+                         impl=impl, chunk=int(config.LOOCV_CHUNK),
+                         unroll=golden_unroll(impl))
     return np.asarray(xmin) * base                   # std-dev bandwidths
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
+def golden_unroll(impl: str) -> int:
+    """Unroll depth for the golden search given the LOO-entropy impl: the
+    dense (small-N) probe is dispatch-latency-bound, so its iterations are
+    unrolled into the program (config.GOLDEN_UNROLL); the tiled/Pallas
+    probes are compute-bound and keep the while_loop form."""
+    from .. import config
+    return int(config.GOLDEN_UNROLL) if impl == "dense" else 0
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk", "unroll"))
 def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol,
-                  impl="dense", chunk=1024):
+                  impl="dense", chunk=1024, unroll=0):
     """The full vectorized golden search as ONE jitted program (cached across
     fits with the same shapes): zero host round-trips until the caller reads
     the selected bandwidths."""
-    def nloo(x):
-        # nLOO_LL scales the *variance* by alpha^2 where alpha = x^2 is in
-        # std units (reference src/CrossValidation.jl:15-24): var = base^2 x^2
-        scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
-        return batched_loo_entropy(pts_t, scale, base_var, w_j,
-                                   impl=impl, chunk=chunk)
-    xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
+    nloo = _make_nloo(pts_t, base_var, w_j, impl, chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol, unroll=unroll)
     return xmin
+
+
+def _make_nloo(rows, base_var, w, impl, chunk):
+    """Probe closure for the golden search: ``nloo(x)`` scales the
+    *variance* by ``alpha^2`` where ``alpha = x^2`` is in std units
+    (reference src/CrossValidation.jl:15-24): ``var = base^2 x^2``.
+
+    Dense (small-N) path: the pairwise distances are precomputed ONCE and
+    closed over (ops/kernels.py::loo_pairwise_d2), so each of the 10-30
+    probes is a single fused elementwise+reduce stage -- with the unrolled
+    search this collapses the whole fit to one short program.  The tiled /
+    Pallas paths recompute per probe (there the N^2 streaming pass IS the
+    cost and nothing is reusable across probes at acceptable memory)."""
+    from .kernels import loo_entropy_given_d2, loo_pairwise_d2
+    if impl == "dense":
+        d2 = loo_pairwise_d2(rows)
+
+        def nloo(x):
+            scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
+            return loo_entropy_given_d2(d2, scale * base_var, w)
+        return nloo
+
+    def nloo(x):
+        scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
+        return batched_loo_entropy(rows, scale, base_var, w,
+                                   impl=impl, chunk=chunk)
+    return nloo
 
 
 @functools.lru_cache(maxsize=256)
@@ -244,20 +292,70 @@ def bracket_rows(rows, lo, hi):
     return base, ax, bx, cx
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk"))
-def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024):
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk", "unroll"))
+def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024,
+               unroll=0):
     """LOOCV bandwidths for ``R`` independent 1-D problems ``rows [R, N]``
     sharing weights ``w [N]``: sort-based neighborMinMax bracket + the
     vectorized golden search, all in one program.  The shared core behind
     :func:`ksize_bandwidths_device` and the batched product refit."""
     base, ax, bx, cx = bracket_rows(rows, lo, hi)
-
-    def nloo(x):
-        scale = (jnp.asarray(x) ** 2).astype(rows.dtype)
-        return batched_loo_entropy(rows, scale, base ** 2, w,
-                                   impl=impl, chunk=chunk)
-    xmin, _ = _golden_core(nloo, ax, bx, cx, tol)
+    nloo = _make_nloo(rows, base ** 2, w, impl, chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol, unroll=unroll)
     return xmin * base
+
+
+@functools.lru_cache(maxsize=256)
+def _internal_slices_dev(n: int):
+    """Device copies of :func:`_internal_slices` (uploaded once per tree
+    size; re-uploading ``lo/hi`` per fit was two ~1 ms dispatch round trips
+    on the degraded axon path)."""
+    lo, hi = _internal_slices(n)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def device_fit_arrays(pts_dn, weights=None, tol: float = 1e-2):
+    """The full device LOOCV fit as ONE dispatch: ``[d, n]`` points ->
+    ``(points [n, d], var [n, d], weights [n])`` ready for ``KDE``.
+
+    This is the `*` operator's refit tail (product -> ``kde!``, reference
+    src/MSGibbs01.jl:724-725): bracket, golden search, weight
+    normalization/fill, bandwidth->variance tiling and the transpose all
+    fuse into one program -- each op left outside a jit costs a ~1 ms
+    dispatch round trip in the degraded axon regime (BASELINE.md)."""
+    from .. import config
+    d, n = pts_dn.shape
+    lo, hi = _internal_slices_dev(n)
+    impl = select_loo_impl(n, pts_dn.dtype)
+    kw = dict(tol=float(tol), impl=impl, chunk=int(config.LOOCV_CHUNK),
+              unroll=golden_unroll(impl))
+    if weights is None:
+        return _fit_arrays_uniform(pts_dn, lo, hi, **kw)
+    return _fit_arrays_weighted(pts_dn, jnp.asarray(weights,
+                                                    dtype=pts_dn.dtype),
+                                lo, hi, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk",
+                                             "unroll"))
+def _fit_arrays_uniform(pts_dn, lo, hi, *, tol, impl, chunk, unroll):
+    n = pts_dn.shape[1]
+    w = jnp.full((n,), 1.0 / n, dtype=pts_dn.dtype)
+    bwds = ksize_rows(pts_dn, w, lo, hi, tol=tol, impl=impl, chunk=chunk,
+                      unroll=unroll)
+    var = jnp.tile((bwds ** 2)[None, :], (n, 1))
+    return pts_dn.T, var, w
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk",
+                                             "unroll"))
+def _fit_arrays_weighted(pts_dn, w, lo, hi, *, tol, impl, chunk, unroll):
+    n = pts_dn.shape[1]
+    w = (w / jnp.sum(w)).reshape(n)
+    bwds = ksize_rows(pts_dn, w, lo, hi, tol=tol, impl=impl, chunk=chunk,
+                      unroll=unroll)
+    var = jnp.tile((bwds ** 2)[None, :], (n, 1))
+    return pts_dn.T, var, w
 
 
 def ksize_bandwidths_device(points,
@@ -288,11 +386,13 @@ def ksize_bandwidths_device(points,
     else:
         w = jnp.asarray(weights, dtype=points.dtype)
         w = w / jnp.sum(w)
-    lo, hi = _internal_slices(n)
+    lo, hi = _internal_slices_dev(n)
     from .. import config
-    return ksize_rows(points.T, w, jnp.asarray(lo), jnp.asarray(hi),
-                      tol=float(tol), impl=select_loo_impl(n, points.dtype),
-                      chunk=int(config.LOOCV_CHUNK))
+    impl = select_loo_impl(n, points.dtype)
+    return ksize_rows(points.T, w, lo, hi,
+                      tol=float(tol), impl=impl,
+                      chunk=int(config.LOOCV_CHUNK),
+                      unroll=golden_unroll(impl))
 
 
 def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:
