@@ -17,9 +17,12 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libballtree.so")
+_HOSTOPS_SO = os.path.join(_DIR, "libhostops.so")
 _lock = threading.Lock()
 _lib = None
 _failed = False
+_hostops = None
+_hostops_failed = False
 
 
 def _compile() -> bool:
@@ -67,3 +70,58 @@ def get_lib():
             dp, dp, dp, ip, ip, ip, ip, ip, dp, dp, dp, dp, ip]
         _lib = lib
         return _lib
+
+
+def _compile_hostops() -> bool:
+    src = os.path.join(_DIR, "hostops.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fno-math-errno",
+             "-fopenmp-simd", "-fPIC", "-shared", "-std=c++17",
+             "-o", _HOSTOPS_SO, src],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_hostops():
+    """The host-ops shared library (fused LOOCV golden-search probe), or
+    None if unavailable (callers fall back to the NumPy twin in
+    ops/host_small.py).  Built separately from libballtree.so: hostops.cpp
+    takes -march=native (it is rebuilt on this host whenever stale), while
+    balltree.cpp keeps conservative flags to protect its bit-identity
+    invariant with ops/balltree.py."""
+    global _hostops, _hostops_failed
+    if _hostops is not None or _hostops_failed:
+        return _hostops
+    with _lock:
+        if _hostops is not None or _hostops_failed:
+            return _hostops
+        src = os.path.join(_DIR, "hostops.cpp")
+        stale = (os.path.exists(_HOSTOPS_SO) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_HOSTOPS_SO))
+        if (not os.path.exists(_HOSTOPS_SO) or stale) \
+                and not _compile_hostops():
+            _hostops_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_HOSTOPS_SO)
+        except OSError:
+            _hostops_failed = True
+            return None
+        i64 = ctypes.c_int64
+        dbl = ctypes.c_double
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.kde_loo_nll.restype = dbl
+        lib.kde_loo_nll.argtypes = [dp, dp, i64, dbl, dbl]
+        lib.kde_loo_golden.restype = dbl
+        lib.kde_loo_golden.argtypes = [dp, dp, i64, dbl, dbl, dbl,
+                                       dbl, dbl, dbl, dbl]
+        lib.kde_loo_golden_1d.restype = dbl
+        lib.kde_loo_golden_1d.argtypes = [dp, dp, i64, dbl, dbl,
+                                          dbl, dbl, dbl, dbl]
+        lib.kde_log_eval_1d.restype = None
+        lib.kde_log_eval_1d.argtypes = [dp, i64, dp, dp, i64, dbl, dp]
+        _hostops = lib
+        return _hostops

@@ -30,12 +30,23 @@ config.HOST_LOOCV_LIMIT / HOST_EVAL_LIMIT / HOST_SAMPLE_LIMIT.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 _C = (3.0 - np.sqrt(5.0)) / 2.0   # golden-section constants
 _R = 1.0 - _C                     # (reference src/CrossValidation.jl:51-52)
 
 LOG_2PI = float(np.log(2.0 * np.pi))
+
+_dp = ctypes.POINTER(ctypes.c_double)
+
+
+def _get_hostops():
+    """The native fused-probe library, or None (NumPy fallback).  Looked up
+    lazily so importing the package never triggers a compile."""
+    from ..native import get_hostops
+    return get_hostops()
 
 
 def bracket_rows_np(rows: np.ndarray, lo: np.ndarray, hi: np.ndarray):
@@ -119,7 +130,21 @@ def ksize_host_np(pts_nd: np.ndarray, w: np.ndarray,
     const = -0.5 * LOG_2PI - log1p_negw
     # probe-independent scalars for the fused all-positive objective below
     w_const = float(np.dot(w, const))
+    hostops = _get_hostops() if all_pos else None
     out = np.empty(d)
+    if hostops is not None and n > 1:
+        # whole per-dim searches in one native call each (incl. the
+        # shifted-LOO-matrix build; kde_tpu/native/hostops.cpp): same
+        # bracket arithmetic, probe values within exp/log-ULP summation
+        # noise of the NumPy branch below (tests/test_host_small.py)
+        wc = np.ascontiguousarray(w)
+        for k in range(d):
+            xk = np.ascontiguousarray(rows[k])
+            out[k] = base_sd[k] * hostops.kde_loo_golden_1d(
+                xk.ctypes.data_as(_dp), wc.ctypes.data_as(_dp), n,
+                base_sd[k] ** 2, w_const,
+                float(ax[k]), float(bx[k]), float(cx[k]), float(tol))
+        return out
     buf = np.empty((n, n))
     with np.errstate(divide="ignore"):          # n==1 / far queries -> -inf
         for k in range(d):
@@ -179,6 +204,23 @@ def log_eval_np(query: np.ndarray, means: np.ndarray, var: np.ndarray,
     same 3-matmul quadratic-form decomposition as the device kernel
     (q^2 @ (1/s)^T - 2 q @ (mu/s)^T + [sum mu^2/s + log s])."""
     d = query.shape[1]
+    if d == 1 and var.shape[0] > 0:
+        v0 = var[0, 0]
+        if (np.all(weights > 0) and np.all(var == v0)
+                and _get_hostops() is not None):
+            # native fused path (kde_tpu/native/hostops.cpp): one pass per
+            # query row with the same nearest-component logsumexp shift;
+            # values within exp/log-ULP noise of the NumPy branch below
+            lib = _get_hostops()
+            q = np.ascontiguousarray(query[:, 0], dtype=np.float64)
+            mu = np.ascontiguousarray(means[:, 0], dtype=np.float64)
+            wc = np.ascontiguousarray(weights, dtype=np.float64)
+            out = np.empty(q.shape[0])
+            lib.kde_log_eval_1d(q.ctypes.data_as(_dp), q.shape[0],
+                                mu.ctypes.data_as(_dp),
+                                wc.ctypes.data_as(_dp), mu.shape[0],
+                                float(v0), out.ctypes.data_as(_dp))
+            return out
     inv = 1.0 / var                                          # [N, d]
     quad = ((query * query) @ inv.T
             - 2.0 * (query @ (means * inv).T)

@@ -161,6 +161,49 @@ def test_host_loocv_zero_weight_kernels_match_device():
     np.testing.assert_allclose(bw_host, bw_dev, rtol=1e-9)
 
 
+def test_native_golden_matches_numpy_selection():
+    """The native fused golden search (kde_tpu/native/hostops.cpp) must
+    select the same bandwidths as the pure-NumPy branch: identical bracket
+    arithmetic; probe values differ only in exp/log ULPs and summation
+    order, far below the search's decision margins."""
+    from kde_tpu.ops import host_small
+    if host_small._get_hostops() is None:
+        pytest.skip("native hostops unavailable on this host")
+    rng = np.random.default_rng(31)
+    for n, d in [(100, 1), (120, 2), (63, 3)]:
+        pts = rng.normal(size=(n, d)) * (1.0 + np.arange(d))
+        w = np.full(n, 1.0 / n)
+        bw_nat = ksize_bandwidths(pts, w)
+        orig = host_small._get_hostops
+        try:
+            host_small._get_hostops = lambda: None
+            bw_np = ksize_bandwidths(pts, w)
+        finally:
+            host_small._get_hostops = orig
+        np.testing.assert_allclose(bw_nat, bw_np, rtol=1e-9)
+
+
+def test_native_log_eval_matches_numpy():
+    """Native 1-D dense evaluation vs the NumPy logsumexp branch."""
+    from kde_tpu.ops import host_small
+    if host_small._get_hostops() is None:
+        pytest.skip("native hostops unavailable on this host")
+    rng = np.random.default_rng(32)
+    means = rng.normal(size=(90, 1)) * 2.0
+    var = np.full((90, 1), 0.17)
+    w = rng.uniform(0.5, 1.5, size=90)
+    w = w / w.sum()
+    q = np.linspace(-8, 8, 300)[:, None]
+    v_nat = host_small.log_eval_np(q, means, var, w)
+    orig = host_small._get_hostops
+    try:
+        host_small._get_hostops = lambda: None
+        v_np = host_small.log_eval_np(q, means, var, w)
+    finally:
+        host_small._get_hostops = orig
+    np.testing.assert_allclose(v_nat, v_np, rtol=1e-12)
+
+
 def test_evaluate_dual_tree_host_backed_stays_host():
     """evaluate_dual_tree(p, q) with two host-backed densities must route
     through the f64 host fast path (a lazy get_points() upload would force
