@@ -45,6 +45,24 @@ LOOCV_CHUNK: int = 1024
 # already-converged dims.
 GOLDEN_UNROLL: int = 32
 
+# Speculative lookahead depth k for the unrolled golden search: probe
+# positions depend only on comparison outcomes, so the probes of all
+# 2^(i+1) outcome paths for the next k iterations are enumerated with pure
+# bracket arithmetic and evaluated in ONE batched stage, then resolved --
+# k iterations per stage, identical trajectory.  Costs 2^(k+1)-2 probe
+# evaluations per stage, so it is gated to the dense path AND to problems
+# where the per-stage speculative workload stays under
+# LOOKAHEAD_WORK_LIMIT probe-pair units (the depth auto-reduces until it
+# fits).  0 or 1 disables speculation.
+#
+# DEFAULT OFF: XLA:CPU compile time for the speculative program is
+# pathological (>15 min at unroll=32, k=2-4 on this host, vs seconds for
+# the plain unrolled form), so speculation stays opt-in until a real-TPU
+# compile/bench run shows a different trade there (trajectory equality is
+# pinned at small unroll by tests/test_loocv.py).
+GOLDEN_LOOKAHEAD: int = 0
+LOOKAHEAD_WORK_LIMIT: int = 1 << 26
+
 # -- size-gated HOST fast paths (ops/host_small.py) ---------------------------
 # On the axon remote-TPU runtime every dispatch is a network round trip
 # (~1 ms in the degraded regime, ~30 ms for a blocking fetch), so

@@ -777,8 +777,8 @@ def product_batched(density_sets,
     products share one search batch), so the whole pipeline is two
     dispatches regardless of B and fully device-resident.
     """
-    from .loocv import (_internal_slices_dev, golden_unroll, ksize_rows,
-                        select_loo_impl)
+    from .loocv import (_internal_slices_dev, golden_lookahead,
+                        golden_unroll, ksize_rows, select_loo_impl)
     from .. import config
 
     sets = [list(ds) for ds in density_sets]
@@ -800,7 +800,8 @@ def product_batched(density_sets,
                       jnp.full((n,), 1.0 / n, dtype=pts.dtype),
                       lo, hi,
                       impl=impl, chunk=int(config.LOOCV_CHUNK),
-                      unroll=golden_unroll(impl))    # [B*d]
+                      unroll=golden_unroll(impl),
+                      lookahead=golden_lookahead(impl, B * d, n))  # [B*d]
     var = bwds.reshape(B, d) ** 2                    # [B, d]
     # output densities carry the batch's manifold hooks, as product() does
     # (the refit bandwidth itself stays Euclidean, like the reference's

@@ -50,19 +50,28 @@ def golden_batched(f, ax, bx, cx, tol):
     return np.asarray(xmin), np.asarray(fmin)
 
 
-def _golden_core(f, ax, bx, cx, tol, unroll=0):
+def _golden_core(f, ax, bx, cx, tol, unroll=0, lookahead=0, f_batch=None):
     """Traceable core of :func:`golden_batched` (jnp in, jnp out).
 
     ``unroll`` > 0 unrolls the first ``unroll`` iterations straight into the
     program (masked updates -- converged elements freeze exactly as in the
     loop form, so the trajectory is identical) and keeps a ``while_loop``
-    only as the backstop tail.  On the axon remote-TPU runtime each
-    ``while_loop`` iteration costs ~1 ms of dispatch latency (vs ~tens of
-    us for an unrolled stage inside the same program -- BASELINE.md
-    "Roofline"), which made the ~25-30-probe search the dominant cost of
-    the reference's product-then-refit ``*`` path (src/MSGibbs01.jl:725).
-    Unrolling is only worth it when each probe is latency- rather than
-    compute-bound; callers gate it on the dense (small-N) entropy impl.
+    only as the backstop tail.  Unrolling is only worth it when each probe
+    is latency- rather than compute-bound; callers gate it on the dense
+    (small-N) entropy impl.
+
+    ``lookahead`` = k >= 2 (requires ``f_batch`` mapping ``[P, B] -> [P, B]``
+    and ``unroll`` > 0) additionally SPECULATES: golden-section probe
+    POSITIONS depend only on the comparison outcomes, never on the f
+    values themselves, so the probes of all 2^(i+1) outcome paths for the
+    next k iterations are enumerable with pure bracket arithmetic,
+    evaluated in ONE batched f call, and then resolved with the actual
+    comparisons -- k iterations per program stage instead of one, with the
+    identical trajectory (the resolved updates recompute the exact same
+    IEEE expressions the enumeration used).  Cost: 2^(k+1)-2 probe
+    evaluations per stage, so this only pays where the probe is tiny and
+    stage count dominates -- the `*` refit's regime (reference
+    src/MSGibbs01.jl:724-725).
     """
     from jax import lax
 
@@ -80,8 +89,12 @@ def _golden_core(f, ax, bx, cx, tol, unroll=0):
     wide_right = jnp.abs(cx - bx) > jnp.abs(bx - ax)
     x1 = jnp.where(wide_right, bx, bx - _C * (bx - ax))
     x2 = jnp.where(wide_right, bx + _C * (cx - bx), bx)
-    f1 = jnp.asarray(f(x1), dtype=ft)
-    f2 = jnp.asarray(f(x2), dtype=ft)
+    if lookahead >= 2 and f_batch is not None and unroll > 0:
+        fb = jnp.asarray(f_batch(jnp.stack([x1, x2])), dtype=ft)
+        f1, f2 = fb[0], fb[1]
+    else:
+        f1 = jnp.asarray(f(x1), dtype=ft)
+        f2 = jnp.asarray(f(x2), dtype=ft)
 
     def cond(st):
         it, x0, x1, x2, x3, f1, f2 = st
@@ -107,9 +120,62 @@ def _golden_core(f, ax, bx, cx, tol, unroll=0):
         nf2 = jnp.where(take2, fp, jnp.where(take1, f1, f2))
         return it + 1, nx0, nx1, nx2, nx3, nf1, nf2
 
+    def superstep(st, k):
+        """Advance k iterations with ONE batched f evaluation."""
+        it, x0, x1, x2, x3, f1, f2 = st
+        # -- enumerate: child states/probes for every outcome path --------
+        ex = tuple(v[None, :] for v in (x0, x1, x2, x3))   # [P, B], P = 1
+        probes = []
+        for _ in range(k):
+            p0, p1, p2, p3 = ex
+            act = jnp.abs(p3 - p0) > tol * (jnp.abs(p1) + jnp.abs(p2))
+            # child T (take2): branch A; valid only where active
+            t0, t1, t2, t3 = p1, p2, _R * p2 + _C * p3, p3
+            # child F: branch B where active, frozen otherwise
+            g0 = p0
+            g1 = jnp.where(act, _R * p1 + _C * p0, p1)
+            g2 = jnp.where(act, p1, p2)
+            g3 = jnp.where(act, p2, p3)
+            pr_t, pr_f = t2, g1                  # = the body's probe expr
+            inter = lambda a, b: jnp.stack([a, b], 1).reshape(
+                -1, a.shape[-1])                 # child(p,T)=2p, (p,F)=2p+1
+            probes.append(inter(pr_t, pr_f))
+            ex = (inter(t0, g0), inter(t1, g1), inter(t2, g2),
+                  inter(t3, g3))
+        flat = jnp.concatenate(probes, axis=0)   # [2^(k+1)-2, B]
+        fall = jnp.asarray(f_batch(flat), dtype=ft)
+        # -- resolve: walk the realized path with the actual comparisons --
+        ptr = jnp.zeros(x0.shape, dtype=jnp.int32)
+        off = 0
+        for i in range(k):
+            p2i = 2 ** (i + 1)
+            fi = fall[off:off + p2i]
+            off += p2i
+            active = jnp.abs(x3 - x0) > tol * (jnp.abs(x1) + jnp.abs(x2))
+            take2 = (f2 < f1) & active
+            take1 = (~take2) & active
+            child = ptr * 2 + jnp.where(take2, 0, 1).astype(jnp.int32)
+            fp = jnp.take_along_axis(fi, child[None, :], axis=0)[0]
+            nx0 = jnp.where(take2, x1, x0)
+            nx1 = jnp.where(take2, x2, x1)
+            nx2 = jnp.where(take2, _R * x2 + _C * x3, x2)
+            nx3 = jnp.where(take1, x2, x3)
+            nx2 = jnp.where(take1, x1, nx2)
+            nx1 = jnp.where(take1, _R * x1 + _C * x0, nx1)
+            nf1 = jnp.where(take2, f2, jnp.where(take1, fp, f1))
+            nf2 = jnp.where(take2, fp, jnp.where(take1, f1, f2))
+            x0, x1, x2, x3, f1, f2 = nx0, nx1, nx2, nx3, nf1, nf2
+            ptr = child
+        return (it + k, x0, x1, x2, x3, f1, f2)
+
     st = (jnp.asarray(0, jnp.int32), x0, x1, x2, x3, f1, f2)
-    for _ in range(min(int(unroll), max_iters)):
-        st = body(st)
+    if lookahead >= 2 and f_batch is not None and unroll > 0:
+        k = int(lookahead)
+        for _ in range(-(-min(int(unroll), max_iters) // k)):
+            st = superstep(st, k)
+    else:
+        for _ in range(min(int(unroll), max_iters)):
+            st = body(st)
     if int(unroll) < max_iters:
         st = lax.while_loop(cond, body, st)
     _, x0, x1, x2, x3, f1, f2 = st
@@ -171,7 +237,8 @@ def ksize_bandwidths(points: np.ndarray,
     xmin = _ksize_search(pts_t, base_var, w_j, jnp.asarray(ax),
                          jnp.asarray(bx), jnp.asarray(cx), tol=float(tol),
                          impl=impl, chunk=int(config.LOOCV_CHUNK),
-                         unroll=golden_unroll(impl))
+                         unroll=golden_unroll(impl),
+                         lookahead=golden_lookahead(impl, d, n))
     return np.asarray(xmin) * base                   # std-dev bandwidths
 
 
@@ -184,21 +251,41 @@ def golden_unroll(impl: str) -> int:
     return int(config.GOLDEN_UNROLL) if impl == "dense" else 0
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk", "unroll"))
+def golden_lookahead(impl: str, n_rows: int, n: int) -> int:
+    """Speculative lookahead depth k for the golden search (0 = off).
+    Only on the dense path, and only while the per-stage speculative probe
+    workload (2^(k+1)-2 probes x rows x N^2) stays under
+    config.LOOKAHEAD_WORK_LIMIT -- speculation multiplies probe compute by
+    ~2^k/k, so it pays exactly where stage count, not FLOPs, dominates
+    (the `*` refit's small-N regime)."""
+    from .. import config
+    k = int(config.GOLDEN_LOOKAHEAD)
+    if impl != "dense" or k < 2:
+        return 0
+    while k >= 2 and (2 ** (k + 1) - 2) * n_rows * n * n             > int(config.LOOKAHEAD_WORK_LIMIT):
+        k -= 1
+    return k if k >= 2 else 0
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk",
+                                             "unroll", "lookahead"))
 def _ksize_search(pts_t, base_var, w_j, ax, bx, cx, *, tol,
-                  impl="dense", chunk=1024, unroll=0):
+                  impl="dense", chunk=1024, unroll=0, lookahead=0):
     """The full vectorized golden search as ONE jitted program (cached across
     fits with the same shapes): zero host round-trips until the caller reads
     the selected bandwidths."""
-    nloo = _make_nloo(pts_t, base_var, w_j, impl, chunk)
-    xmin, _ = _golden_core(nloo, ax, bx, cx, tol, unroll=unroll)
+    nloo, nloo_b = _make_nloo(pts_t, base_var, w_j, impl, chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol, unroll=unroll,
+                           lookahead=lookahead, f_batch=nloo_b)
     return xmin
 
 
 def _make_nloo(rows, base_var, w, impl, chunk):
-    """Probe closure for the golden search: ``nloo(x)`` scales the
+    """Probe closures for the golden search: ``nloo(x)`` scales the
     *variance* by ``alpha^2`` where ``alpha = x^2`` is in std units
     (reference src/CrossValidation.jl:15-24): ``var = base^2 x^2``.
+    Returns ``(nloo, nloo_batch)`` -- the batch form maps ``[P, B]``
+    probe matrices for the speculative search (None off the dense path).
 
     Dense (small-N) path: the pairwise distances are precomputed ONCE and
     closed over (ops/kernels.py::loo_pairwise_d2), so each of the 10-30
@@ -213,13 +300,18 @@ def _make_nloo(rows, base_var, w, impl, chunk):
         def nloo(x):
             scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
             return loo_entropy_given_d2(d2, scale * base_var, w)
-        return nloo
+
+        def nloo_batch(xs):                       # [P, B] -> [P, B]
+            scale = (jnp.asarray(xs) ** 2).astype(base_var.dtype)
+            return jax.vmap(
+                lambda s: loo_entropy_given_d2(d2, s * base_var, w))(scale)
+        return nloo, nloo_batch
 
     def nloo(x):
         scale = (jnp.asarray(x) ** 2).astype(base_var.dtype)
         return batched_loo_entropy(rows, scale, base_var, w,
                                    impl=impl, chunk=chunk)
-    return nloo
+    return nloo, None
 
 
 @functools.lru_cache(maxsize=256)
@@ -292,16 +384,18 @@ def bracket_rows(rows, lo, hi):
     return base, ax, bx, cx
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk", "unroll"))
+@functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk",
+                                             "unroll", "lookahead"))
 def ksize_rows(rows, w, lo, hi, *, tol=1e-2, impl="dense", chunk=1024,
-               unroll=0):
+               unroll=0, lookahead=0):
     """LOOCV bandwidths for ``R`` independent 1-D problems ``rows [R, N]``
     sharing weights ``w [N]``: sort-based neighborMinMax bracket + the
     vectorized golden search, all in one program.  The shared core behind
     :func:`ksize_bandwidths_device` and the batched product refit."""
     base, ax, bx, cx = bracket_rows(rows, lo, hi)
-    nloo = _make_nloo(rows, base ** 2, w, impl, chunk)
-    xmin, _ = _golden_core(nloo, ax, bx, cx, tol, unroll=unroll)
+    nloo, nloo_b = _make_nloo(rows, base ** 2, w, impl, chunk)
+    xmin, _ = _golden_core(nloo, ax, bx, cx, tol, unroll=unroll,
+                           lookahead=lookahead, f_batch=nloo_b)
     return xmin * base
 
 
@@ -328,7 +422,8 @@ def device_fit_arrays(pts_dn, weights=None, tol: float = 1e-2):
     lo, hi = _internal_slices_dev(n)
     impl = select_loo_impl(n, pts_dn.dtype)
     kw = dict(tol=float(tol), impl=impl, chunk=int(config.LOOCV_CHUNK),
-              unroll=golden_unroll(impl))
+              unroll=golden_unroll(impl),
+              lookahead=golden_lookahead(impl, d, n))
     if weights is None:
         return _fit_arrays_uniform(pts_dn, lo, hi, **kw)
     return _fit_arrays_weighted(pts_dn, jnp.asarray(weights,
@@ -337,23 +432,25 @@ def device_fit_arrays(pts_dn, weights=None, tol: float = 1e-2):
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk",
-                                             "unroll"))
-def _fit_arrays_uniform(pts_dn, lo, hi, *, tol, impl, chunk, unroll):
+                                             "unroll", "lookahead"))
+def _fit_arrays_uniform(pts_dn, lo, hi, *, tol, impl, chunk, unroll,
+                        lookahead=0):
     n = pts_dn.shape[1]
     w = jnp.full((n,), 1.0 / n, dtype=pts_dn.dtype)
     bwds = ksize_rows(pts_dn, w, lo, hi, tol=tol, impl=impl, chunk=chunk,
-                      unroll=unroll)
+                      unroll=unroll, lookahead=lookahead)
     var = jnp.tile((bwds ** 2)[None, :], (n, 1))
     return pts_dn.T, var, w
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "impl", "chunk",
-                                             "unroll"))
-def _fit_arrays_weighted(pts_dn, w, lo, hi, *, tol, impl, chunk, unroll):
+                                             "unroll", "lookahead"))
+def _fit_arrays_weighted(pts_dn, w, lo, hi, *, tol, impl, chunk, unroll,
+                         lookahead=0):
     n = pts_dn.shape[1]
     w = (w / jnp.sum(w)).reshape(n)
     bwds = ksize_rows(pts_dn, w, lo, hi, tol=tol, impl=impl, chunk=chunk,
-                      unroll=unroll)
+                      unroll=unroll, lookahead=lookahead)
     var = jnp.tile((bwds ** 2)[None, :], (n, 1))
     return pts_dn.T, var, w
 
@@ -392,7 +489,8 @@ def ksize_bandwidths_device(points,
     return ksize_rows(points.T, w, lo, hi,
                       tol=float(tol), impl=impl,
                       chunk=int(config.LOOCV_CHUNK),
-                      unroll=golden_unroll(impl))
+                      unroll=golden_unroll(impl),
+                      lookahead=golden_lookahead(impl, d, n))
 
 
 def nloo_ll(alpha: float, p, dtype=jnp.float64) -> float:

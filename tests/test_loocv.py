@@ -102,6 +102,32 @@ def test_tiled_loo_entropy_matches_dense():
                                rtol=1e-12)
 
 
+def test_speculative_golden_matches_plain():
+    """The speculative lookahead search (enumerate both branch outcomes'
+    probe positions, one batched evaluation, resolve) must follow the
+    IDENTICAL trajectory as the plain masked search -- the resolved
+    updates recompute the same IEEE expressions the enumeration used.
+    Exercised at a small unroll depth (the full-depth speculative program
+    compiles pathologically slowly on XLA:CPU -- config.py note -- so the
+    production default is off; this pins the algorithm's correctness)."""
+    import jax.numpy as jnp
+    from kde_tpu.ops.loocv import _golden_core, _make_nloo, bracket_rows
+    rng = np.random.default_rng(23)
+    rows = jnp.asarray(rng.normal(size=(3, 48)) * [[1.0], [2.0], [0.5]])
+    w = jnp.full((48,), 1.0 / 48, dtype=rows.dtype)
+    lo = jnp.asarray([0, 0]); hi = jnp.asarray([47, 23])
+    base, ax, bx, cx = bracket_rows(rows, lo, hi)
+    nloo, nloo_b = _make_nloo(rows, base ** 2, w, "dense", 1024)
+    for k in (2, 3):
+        x_spec, f_spec = _golden_core(nloo, ax, bx, cx, 1e-2, unroll=8,
+                                      lookahead=k, f_batch=nloo_b)
+        x_plain, f_plain = _golden_core(nloo, ax, bx, cx, 1e-2, unroll=8)
+        np.testing.assert_allclose(np.asarray(x_spec), np.asarray(x_plain),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(f_spec), np.asarray(f_plain),
+                                   rtol=1e-10)
+
+
 def test_ksize_bandwidths_tiled_matches_dense(monkeypatch):
     """Full LOOCV fit through the tiled path selects the same bandwidths."""
     from kde_tpu import config
