@@ -36,14 +36,15 @@ LOOCV_CHUNK: int = 1024
 # probe is the DENSE (small-N) entropy kernel.  Each lax.while_loop iteration
 # costs ~1 ms of dispatch latency on the axon remote runtime, while an
 # unrolled stage inside the same program costs tens of us; the search
-# typically converges in 10-30 iterations (tol 1e-2), so unrolling turns the
+# converges in 13-20 iterations at tol 1e-2 across typical LOOCV problems
+# (measured over bracket/data variations), so unrolling turns the
 # reference's product-then-refit `*` tail (src/MSGibbs01.jl:725) from
-# ~30 round trips into one program.  A while_loop backstop still covers the
+# ~20 round trips into one program.  A while_loop backstop still covers the
 # rare straggler bracket past this count.  0 disables unrolling.  The
 # compute-bound tiled/Pallas probes (large N) keep the loop form: there the
 # probe itself dominates and unrolled stages would pay full compute for
 # already-converged dims.
-GOLDEN_UNROLL: int = 32
+GOLDEN_UNROLL: int = 24
 
 # Speculative lookahead depth k for the unrolled golden search: probe
 # positions depend only on comparison outcomes, so the probes of all
