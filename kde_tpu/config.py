@@ -56,11 +56,14 @@ GOLDEN_UNROLL: int = 24
 # LOOKAHEAD_WORK_LIMIT probe-pair units (the depth auto-reduces until it
 # fits).  0 or 1 disables speculation.
 #
-# DEFAULT OFF: XLA:CPU compile time for the speculative program is
-# pathological (>15 min at unroll=32, k=2-4 on this host, vs seconds for
-# the plain unrolled form), so speculation stays opt-in until a real-TPU
-# compile/bench run shows a different trade there (trajectory equality is
-# pinned at small unroll by tests/test_loocv.py).
+# DEFAULT OFF — measured a wash on the real chip (tools/ab_lookahead.py,
+# 2026-08-19, interleaved best-of-6 pipelined): k=2 is 1.00-1.01x on the
+# device fit (N=1000 d=2 and N=150 d=4) and 1.04x on the end-to-end 4-D
+# `*`; k=3 is 0.93-0.94x.  Pipelined dispatch already overlaps the
+# sequential probe stages across queued calls, so cutting stage depth buys
+# nothing that pays for the 2^(k+1)-2x probe compute.  (TPU compile of the
+# speculative program is fine, ~13 s — the >15 min pathology is XLA:CPU
+# only, which is why tests pin the trajectory at small unroll.)
 GOLDEN_LOOKAHEAD: int = 0
 LOOKAHEAD_WORK_LIMIT: int = 1 << 26
 
