@@ -18,8 +18,13 @@ TIMING HONESTY (see BASELINE.md): on the axon remote-TPU runtime,
 jax.block_until_ready returns at dispatch-journal acceptance, NOT device
 completion; every TPU window below is fenced by reducing outputs to a
 scalar and fetching it inside the timed region.  Throughput configs queue
-many calls per fence (pipelined dispatch); latency configs (the end-to-end
-`*`) are sequential by nature.  Best-of-N rounds damp tunnel congestion.
+many calls per fence (pipelined dispatch).  The measured per-call time
+decomposes as t_dev + RTT/reps where RTT is the ~30 ms blocking-fetch
+round trip of the fence itself (measured sweep, BASELINE.md round-4
+notes: the 4-D `*` flow reads 9.7 ms/flow at reps=3 and asymptotes to
+3.2 ms by reps=48), so each config's reps is sized to keep the fence
+share under ~15% of t_dev -- under-queuing would charge the tunnel's
+fetch latency to the framework.  Best-of-N rounds damp congestion.
 """
 
 import json
@@ -129,7 +134,7 @@ def main():
     fence = lambda *xs: float(np.asarray(sum(jnp.sum(v) for v in xs)))
     results = []
 
-    def tpu_pipelined(fn, reps=20, rounds=6, per_call=1):
+    def tpu_pipelined(fn, reps=48, rounds=6, per_call=1):
         """Best-of-rounds pipelined rate: queue `reps` calls with distinct
         seeds, one completion fence; returns units/s (units = per_call)."""
         fence(fn(0))                                  # warmup/compile
@@ -166,7 +171,7 @@ def main():
     n_call = N_OUT * PRODUCTS_PER_CALL
     tpu_rate = tpu_pipelined(
         lambda s: sampler.sample(jax.random.PRNGKey(s))[0],
-        reps=20, rounds=8, per_call=n_call)
+        reps=80, rounds=8, per_call=n_call)
     # sanity on one product block
     chk = np.asarray(prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
                                         key=jax.random.PRNGKey(1))[0])
@@ -190,7 +195,7 @@ def main():
     rate = tpu_pipelined(
         lambda s: prod_appx_ms_gibbs(n_out_big, big, n_iter=N_ITER,
                                      key=jax.random.PRNGKey(s))[0],
-        reps=6, rounds=6, per_call=n_out_big)
+        reps=12, rounds=6, per_call=n_out_big)
     tbig = [p.tree for p in big]
     cpu = 4 / cpu_best(
         lambda r: serial_gibbs_product_fast(tbig, 4, N_ITER,
@@ -246,8 +251,8 @@ def main():
     t_best = 1e9
     for r in range(4):
         t0 = time.perf_counter()
-        fence(flow10k(r + 1))
-        t_best = min(t_best, time.perf_counter() - t0)
+        fence(*[flow10k(4 * r + i + 1) for i in range(4)])
+        t_best = min(t_best, (time.perf_counter() - t0) / 4)
     cpu_t = cpu_best(lambda r: _serial_flow_1d(x10k, n_res=0), rounds=1)
     results.append({
         "metric": "1D LOOCV fit+evaluate (N=10000)",
@@ -307,7 +312,7 @@ def main():
     # vs the fetch RTT").  The serial baseline needs no such treatment:
     # the CPU has no dispatch round trip to hide.
     fence(star4(0))
-    reps4 = 6
+    reps4 = 24
     t_best = 1e9
     for r in range(6):
         t0 = time.perf_counter()
