@@ -37,7 +37,7 @@ import numpy as np
 N_COMP = 1000       # headline: components per density (2x1000-comp)
 N_OUT = 1000        # headline: product samples per product
 N_ITER = 5          # reference Niter for `*` (src/MSGibbs01.jl:724)
-PRODUCTS_PER_CALL = 4
+PRODUCTS_PER_CALL = 6
 BASELINE_SAMPLES = 50
 
 _GOLD_C = (3.0 - np.sqrt(5.0)) / 2.0
@@ -134,7 +134,7 @@ def main():
     fence = lambda *xs: float(np.asarray(sum(jnp.sum(v) for v in xs)))
     results = []
 
-    def tpu_pipelined(fn, reps=48, rounds=6, per_call=1):
+    def tpu_pipelined(fn, reps=48, rounds=8, per_call=1):
         """Best-of-rounds pipelined rate: queue `reps` calls with distinct
         seeds, one completion fence; returns units/s (units = per_call)."""
         fence(fn(0))                                  # warmup/compile
@@ -165,6 +165,9 @@ def main():
     # product per dispatch via the batched-sets engine (the vmapped-sets
     # program measures ~30% faster than one (PRODUCTS*N_OUT)-chain call of
     # the same total work; chains are iid given the stream either way).
+    # B=6 per dispatch: interleaved sweeps at honest queue depths read
+    # B=6 (835k) ~ B=7 > B=4-5 (807-814k) >> B=8 (568k, spill) -- round 4,
+    # superseding round 2's B=4 pick made at fence-dominated depths.
     from kde_tpu import BatchedProductSampler
     sampler = BatchedProductSampler([dens] * PRODUCTS_PER_CALL, n_out=N_OUT,
                                     n_iter=N_ITER)
@@ -314,7 +317,7 @@ def main():
     fence(star4(0))
     reps4 = 24
     t_best = 1e9
-    for r in range(6):
+    for r in range(10):
         t0 = time.perf_counter()
         fence(*[star4(reps4 * r + i + 1) for i in range(reps4)])
         t_best = min(t_best, (time.perf_counter() - t0) / reps4)
