@@ -320,9 +320,16 @@ void kde_log_eval_1d(const double* q, std::int64_t m_count, const double* mu,
             if (j < n) {
                 __mmask8 msk =
                     static_cast<__mmask8>((1u << (n - j)) - 1u);
-                __m512d x0 = _mm512_mul_pd(
-                    av, _mm512_sub_pd(
-                            _mm512_maskz_loadu_pd(msk, row.data() + j), dv));
+                // zero the MASKED lanes of the exp argument: a masked row
+                // load reads 0.0, so an unmasked multiply would feed
+                // a*(0 - dmin) > 0 to exp_neg_v (contract: x <= 0) -- in
+                // the exponent-wrap window (0.5*dmin/var ~ 709.8-710.5 or
+                // +1419.6k) its 2^k scale becomes +inf and
+                // fmadd(w=0, inf, acc) poisons the accumulator with NaN
+                __m512d x0 = _mm512_maskz_mul_pd(
+                    msk, av,
+                    _mm512_sub_pd(
+                        _mm512_maskz_loadu_pd(msk, row.data() + j), dv));
                 acc = _mm512_fmadd_pd(_mm512_maskz_loadu_pd(msk, w + j),
                                       exp_neg_v(x0), acc);
             }

@@ -41,7 +41,6 @@ zero likelihood (:311-315), and partial-dimension information zeroing
 from __future__ import annotations
 
 import functools
-import logging
 import math
 from typing import List, Optional, Sequence, Tuple
 

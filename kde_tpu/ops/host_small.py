@@ -206,12 +206,11 @@ def log_eval_np(query: np.ndarray, means: np.ndarray, var: np.ndarray,
     d = query.shape[1]
     if d == 1 and var.shape[0] > 0:
         v0 = var[0, 0]
-        if (np.all(weights > 0) and np.all(var == v0)
-                and _get_hostops() is not None):
+        lib = _get_hostops()
+        if (np.all(weights > 0) and np.all(var == v0) and lib is not None):
             # native fused path (kde_tpu/native/hostops.cpp): one pass per
             # query row with the same nearest-component logsumexp shift;
             # values within exp/log-ULP noise of the NumPy branch below
-            lib = _get_hostops()
             q = np.ascontiguousarray(query[:, 0], dtype=np.float64)
             mu = np.ascontiguousarray(means[:, 0], dtype=np.float64)
             wc = np.ascontiguousarray(weights, dtype=np.float64)

@@ -262,7 +262,8 @@ def golden_lookahead(impl: str, n_rows: int, n: int) -> int:
     k = int(config.GOLDEN_LOOKAHEAD)
     if impl != "dense" or k < 2:
         return 0
-    while k >= 2 and (2 ** (k + 1) - 2) * n_rows * n * n             > int(config.LOOKAHEAD_WORK_LIMIT):
+    while (k >= 2 and (2 ** (k + 1) - 2) * n_rows * n * n
+           > int(config.LOOKAHEAD_WORK_LIMIT)):
         k -= 1
     return k if k >= 2 else 0
 

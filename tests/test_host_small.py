@@ -204,6 +204,35 @@ def test_native_log_eval_matches_numpy():
     np.testing.assert_allclose(v_nat, v_np, rtol=1e-12)
 
 
+def test_native_log_eval_masked_tail_exponent_wrap():
+    """Regression: the AVX-512 masked tail of kde_log_eval_1d must not feed
+    positive arguments to the x<=0 exp kernel.  A masked row-lane loads 0.0,
+    so an unmasked multiply produced exp arg a*(0 - dmin) = +0.5*dmin/var;
+    in the exponent-wrap window (~709.8-710.5, recurring every ~1419.6) its
+    2^k scale became +inf and fmadd(w=0, inf) = NaN poisoned the whole
+    query's accumulator (55/802 NaNs on the pre-fix lib for this sweep).
+    n = 9 forces a 7-masked-lane tail; var = 0.5 makes the masked exp arg
+    exactly dmin = q^2."""
+    from kde_tpu.ops import host_small
+    if host_small._get_hostops() is None:
+        pytest.skip("native hostops unavailable on this host")
+    n = 9
+    means = (np.arange(n) * 1e-6)[:, None]
+    var = np.full((n, 1), 0.5)
+    w = np.full(n, 1.0 / n)
+    q = np.sqrt(np.concatenate([np.linspace(705.0, 715.0, 401),
+                                np.linspace(2125.0, 2135.0, 401)]))[:, None]
+    v_nat = host_small.log_eval_np(q, means, var, w)
+    assert np.isfinite(v_nat).all()
+    orig = host_small._get_hostops
+    try:
+        host_small._get_hostops = lambda: None
+        v_np = host_small.log_eval_np(q, means, var, w)
+    finally:
+        host_small._get_hostops = orig
+    np.testing.assert_allclose(v_nat, v_np, rtol=1e-11)
+
+
 def test_evaluate_dual_tree_host_backed_stays_host():
     """evaluate_dual_tree(p, q) with two host-backed densities must route
     through the f64 host fast path (a lazy get_points() upload would force
