@@ -134,17 +134,35 @@ def main():
     fence = lambda *xs: float(np.asarray(sum(jnp.sum(v) for v in xs)))
     results = []
 
-    def tpu_pipelined(fn, reps=48, rounds=8, per_call=1):
-        """Best-of-rounds pipelined rate: queue `reps` calls with distinct
-        seeds, one completion fence; returns units/s (units = per_call)."""
+    # TPU configs register as ARMS and their timed windows run round-robin
+    # (every arm measured once per round, best-of-rounds per arm): a
+    # multi-minute tunnel-congestion episode then degrades one ROUND of
+    # every config instead of every round of one config, so the recorded
+    # BENCH snapshot measures the device, not the tunnel weather
+    # (BASELINE.md round-4 congestion-spread note: config-at-a-time runs
+    # spread 60-103x on cfg 4 across four same-day runs).
+    arms = []
+
+    def tpu_arm(fn, reps=48, per_call=1):
+        """Register a pipelined arm: each window queues `reps` calls with
+        distinct seeds behind one completion fence; returns a handle whose
+        .rate is the best units/s across rounds (units = per_call)."""
         fence(fn(0))                                  # warmup/compile
-        best = 0.0
+        arm = {"fn": fn, "reps": reps, "per_call": per_call, "rate": 0.0}
+        arms.append(arm)
+        return arm
+
+    def run_arms(rounds=8):
         for r in range(rounds):
-            t0 = time.perf_counter()
-            outs = [fn(1000 * r + i + 1) for i in range(reps)]
-            fence(*outs)
-            best = max(best, per_call * reps / (time.perf_counter() - t0))
-        return best
+            for arm in arms:                          # interleave configs
+                t0 = time.perf_counter()
+                outs = [arm["fn"](1000 * r + i + 1)
+                        for i in range(arm["reps"])]
+                fence(*outs)
+                arm["rate"] = max(
+                    arm["rate"],
+                    arm["per_call"] * arm["reps"]
+                    / (time.perf_counter() - t0))
 
     def cpu_best(fn, rounds=3):
         best = 1e9
@@ -172,16 +190,12 @@ def main():
     sampler = BatchedProductSampler([dens] * PRODUCTS_PER_CALL, n_out=N_OUT,
                                     n_iter=N_ITER)
     n_call = N_OUT * PRODUCTS_PER_CALL
-    tpu_rate = tpu_pipelined(
-        lambda s: sampler.sample(jax.random.PRNGKey(s))[0],
-        reps=80, rounds=8, per_call=n_call)
+    headline = tpu_arm(lambda s: sampler.sample(jax.random.PRNGKey(s))[0],
+                       reps=80, per_call=n_call)
     # sanity on one product block
     chk = np.asarray(prod_appx_ms_gibbs(N_OUT, dens, n_iter=N_ITER,
                                         key=jax.random.PRNGKey(1))[0])
     assert np.all(np.isfinite(chk)) and np.abs(chk).max() < 10.0
-    cpu_rate = BASELINE_SAMPLES / cpu_best(
-        lambda r: serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
-                                            np.random.default_rng(r)))
 
     # --- scale row: 2x50,000-comp 2-D product (BASELINE.md scale envelope) --
     # The HBM-bound regime: per-sample work is O(N) at the leaf level, so at
@@ -195,19 +209,10 @@ def main():
            kde((rng.normal(size=(2, n_big)) + 0.5).astype(np.float32),
                [float(1.06 * n_big ** -0.2)], dtype=dtype)]
     n_out_big = 256
-    rate = tpu_pipelined(
+    arm_big = tpu_arm(
         lambda s: prod_appx_ms_gibbs(n_out_big, big, n_iter=N_ITER,
                                      key=jax.random.PRNGKey(s))[0],
-        reps=12, rounds=6, per_call=n_out_big)
-    tbig = [p.tree for p in big]
-    cpu = 4 / cpu_best(
-        lambda r: serial_gibbs_product_fast(tbig, 4, N_ITER,
-                                            np.random.default_rng(r)),
-        rounds=2)
-    results.append({
-        "metric": "2D product 2x50000-comp Niter=5 (scale envelope)",
-        "value": round(rate, 1), "unit": "samples/s",
-        "vs_baseline": round(rate / cpu, 2)})
+        reps=12, per_call=n_out_big)
 
     # --- config 1: 1-D LOOCV fit + evaluate + resample (README.md:36-38) ----
     x1d = np.concatenate([rng.normal(size=50), 10.0 + 2.0 * rng.normal(size=50)])
@@ -234,11 +239,6 @@ def main():
             flow1(20 * r + i)
         t_best = min(t_best, (time.perf_counter() - t0) / 20)
     rate1 = 1.0 / t_best
-    cpu_t = cpu_best(lambda r: _serial_flow_1d(x1d))
-    results.append({
-        "metric": "1D LOOCV fit+eval+resample (N=100, README cfg 1)",
-        "value": round(rate1, 2), "unit": "flows/s",
-        "vs_baseline": round(rate1 * cpu_t, 2)})
 
     # companion at N=10k (fit + evaluate): the regime where the N^2 LOOCV
     # entropy is real work -- the reference's own examples stay at N<=300
@@ -250,51 +250,25 @@ def main():
     def flow10k(s):
         p = kde(jnp.asarray(x10k[None, :], dtype=dtype))
         return jnp.sum(p(grid10k)) + jnp.sum(p.bw)
-    fence(flow10k(0))
-    t_best = 1e9
-    for r in range(4):
-        t0 = time.perf_counter()
-        fence(*[flow10k(4 * r + i + 1) for i in range(4)])
-        t_best = min(t_best, (time.perf_counter() - t0) / 4)
-    cpu_t = cpu_best(lambda r: _serial_flow_1d(x10k, n_res=0), rounds=1)
-    results.append({
-        "metric": "1D LOOCV fit+evaluate (N=10000)",
-        "value": round(1.0 / t_best, 2), "unit": "flows/s",
-        "vs_baseline": round(cpu_t / t_best, 2)})
+    arm_10k = tpu_arm(flow10k, reps=4, per_call=1)
 
     # --- config 2: 2-D product of two 100-comp KDEs (README.md:56-61) -------
     d100 = [kde(rng.normal(size=(2, 100)), [0.2], dtype=dtype),
             kde(rng.normal(size=(2, 100)) + 0.5, [0.2], dtype=dtype)]
-    rate = tpu_pipelined(
+    arm_c2 = tpu_arm(
         lambda s: prod_appx_ms_gibbs(100, d100, n_iter=5,
                                      key=jax.random.PRNGKey(s))[0],
         per_call=100)
-    t100 = [p.tree for p in d100]
-    cpu = 100 / cpu_best(
-        lambda r: serial_gibbs_product_fast(t100, 100, 5,
-                                            np.random.default_rng(r)))
-    results.append({
-        "metric": "2D product 2x100-comp Niter=5 (README cfg 2)",
-        "value": round(rate, 1), "unit": "samples/s",
-        "vs_baseline": round(rate / cpu, 2)})
 
     # --- config 3: Beta x Rayleigh 1-D product (README.md:76-80) ------------
     beta = rng.beta(1.0, 0.45, size=300)
     rayl = rng.rayleigh(0.5, size=100) - 0.5
     pb = kde(jnp.asarray(beta[None, :], dtype=dtype))        # LOOCV fits
     pr = kde(jnp.asarray(rayl[None, :], dtype=dtype))
-    rate = tpu_pipelined(
+    arm_c3 = tpu_arm(
         lambda s: prod_appx_ms_gibbs(100, [pb, pr], n_iter=5,
                                      key=jax.random.PRNGKey(s))[0],
         per_call=100)
-    tbr = [pb.tree, pr.tree]
-    cpu = 100 / cpu_best(
-        lambda r: serial_gibbs_product_fast(tbr, 100, 5,
-                                            np.random.default_rng(r)))
-    results.append({
-        "metric": "1D Beta(1,.45) x Rayleigh(.5) product (README cfg 3)",
-        "value": round(rate, 1), "unit": "samples/s",
-        "vs_baseline": round(rate / cpu, 2)})
 
     # --- config 4: 4-D multimodal end-to-end `*` (README.md:91-97) ----------
     n4 = 200
@@ -314,24 +288,7 @@ def main():
     # ~30 ms axon fetch RTT, not the framework -- BASELINE.md "pipelining
     # vs the fetch RTT").  The serial baseline needs no such treatment:
     # the CPU has no dispatch round trip to hide.
-    fence(star4(0))
-    reps4 = 24
-    t_best = 1e9
-    for r in range(10):
-        t0 = time.perf_counter()
-        fence(*[star4(reps4 * r + i + 1) for i in range(reps4)])
-        t_best = min(t_best, (time.perf_counter() - t0) / reps4)
-    t4 = [p4.tree, q4.tree]
-
-    def cpu4(r):
-        pts, _ = serial_gibbs_product_fast(t4, n_out4, 5,
-                                           np.random.default_rng(r))
-        _serial_loocv_bw(pts.T, np.full(n_out4, 1.0 / n_out4))
-    cpu_t = cpu_best(cpu4)
-    results.append({
-        "metric": "4D multimodal end-to-end p*q incl. LOOCV refit (README cfg 4)",
-        "value": round(n_out4 / t_best, 1), "unit": "samples/s",
-        "vs_baseline": round(cpu_t / t_best, 2)})
+    arm_c4 = tpu_arm(star4, reps=24, per_call=n_out4)
 
     # --- config 5: partial/consensus product, 1000 comps each ---------------
     # (test/testPartialProd.jl:41-53 at consensus scale, ConsensusExample.jl)
@@ -342,7 +299,7 @@ def main():
     m3 = kde(np.vstack([rng.uniform(0, 10, 1000),
                         rng.uniform(-10, 0, 1000)]), [0.5, 0.5], dtype=dtype)
     mask = [[1, 0], [0, 1], [1, 1]]
-    rate = tpu_pipelined(
+    arm_c5 = tpu_arm(
         lambda s: prod_appx_ms_gibbs(100, [m1, m2, m3], n_iter=5,
                                      partial_dim_mask=mask,
                                      key=jax.random.PRNGKey(s))[0],
@@ -353,21 +310,71 @@ def main():
                                        key=jax.random.PRNGKey(3))[0])
     assert np.sum((0 < pc[0]) & (pc[0] < 10)
                   & (-10 < pc[1]) & (pc[1] < 0)) > 80
+
+    # --- every TPU config's timed windows, interleaved round-robin ----------
+    run_arms(rounds=8)
+
+    # --- serial-CPU baselines (no tunnel involved; measured after) ----------
+    cpu_rate = BASELINE_SAMPLES / cpu_best(
+        lambda r: serial_gibbs_product_fast(trees, BASELINE_SAMPLES, N_ITER,
+                                            np.random.default_rng(r)))
+    tbig = [p.tree for p in big]
+    cpu_big = 4 / cpu_best(
+        lambda r: serial_gibbs_product_fast(tbig, 4, N_ITER,
+                                            np.random.default_rng(r)),
+        rounds=2)
+    cpu_t1 = cpu_best(lambda r: _serial_flow_1d(x1d))
+    cpu_t10k = cpu_best(lambda r: _serial_flow_1d(x10k, n_res=0), rounds=1)
+    t100 = [p.tree for p in d100]
+    cpu_c2 = 100 / cpu_best(
+        lambda r: serial_gibbs_product_fast(t100, 100, 5,
+                                            np.random.default_rng(r)))
+    tbr = [pb.tree, pr.tree]
+    cpu_c3 = 100 / cpu_best(
+        lambda r: serial_gibbs_product_fast(tbr, 100, 5,
+                                            np.random.default_rng(r)))
+    t4 = [p4.tree, q4.tree]
+
+    def cpu4(r):
+        pts, _ = serial_gibbs_product_fast(t4, n_out4, 5,
+                                           np.random.default_rng(r))
+        _serial_loocv_bw(pts.T, np.full(n_out4, 1.0 / n_out4))
+    cpu_t4 = cpu_best(cpu4)
     tm = [m1.tree, m2.tree, m3.tree]
-    cpu = 50 / cpu_best(
+    cpu_c5 = 50 / cpu_best(
         lambda r: serial_gibbs_product_fast(tm, 50, 5,
                                             np.random.default_rng(r),
                                             partial_dim_mask=mask))
+
+    def row(metric, arm, cpu_rate_, unit="samples/s"):
+        return {"metric": metric, "value": round(arm["rate"], 2),
+                "unit": unit, "vs_baseline": round(arm["rate"] / cpu_rate_, 2),
+                "reps": arm["reps"]}
+
+    results.append(row("2D product 2x50000-comp Niter=5 (scale envelope)",
+                       arm_big, cpu_big))
     results.append({
-        "metric": "partial-dim consensus product 3x1000-comp (cfg 5)",
-        "value": round(rate, 1), "unit": "samples/s",
-        "vs_baseline": round(rate / cpu, 2)})
+        "metric": "1D LOOCV fit+eval+resample (N=100, README cfg 1)",
+        "value": round(rate1, 2), "unit": "flows/s",
+        "vs_baseline": round(rate1 * cpu_t1, 2), "reps": 20})
+    results.append(row("1D LOOCV fit+evaluate (N=10000)", arm_10k,
+                       1.0 / cpu_t10k, unit="flows/s"))
+    results.append(row("2D product 2x100-comp Niter=5 (README cfg 2)",
+                       arm_c2, cpu_c2))
+    results.append(row("1D Beta(1,.45) x Rayleigh(.5) product (README cfg 3)",
+                       arm_c3, cpu_c3))
+    results.append(row(
+        "4D multimodal end-to-end p*q incl. LOOCV refit (README cfg 4)",
+        arm_c4, n_out4 / cpu_t4))
+    results.append(row("partial-dim consensus product 3x1000-comp (cfg 5)",
+                       arm_c5, cpu_c5))
 
     print(json.dumps({
         "metric": "gibbs product samples/s (2x1000-comp 2D KDE, Niter=5)",
-        "value": round(tpu_rate, 2),
+        "value": round(headline["rate"], 2),
         "unit": "samples/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(headline["rate"] / cpu_rate, 2),
+        "reps": headline["reps"],
         # engine: the pure-XLA chain program (the round-3 fused upper-level
         # Pallas engine lost the interleaved real-TPU A/B in every regime
         # and was removed in round 4 -- tools/ab_fused_r4_output.txt)
