@@ -204,6 +204,32 @@ def _get_plan(densities: Sequence[KDE], n_out: int, dtype,
     return plan
 
 
+def normalize_hooks(addop, diffop, get_mu, get_lambda, d):
+    """Broadcast the manifold hook tuples to ``d`` dims and canonicalize:
+    all-Euclidean tuples collapse to ``None`` (enabling the fast paths),
+    and a custom ``get_lambda`` with a default ``get_mu`` (or vice versa)
+    fills the default explicitly so the generic information-form path runs
+    -- the (None, tuple) mix would either crash at ``get_mu[k]`` or take
+    the Euclidean fast path and silently ignore the custom hook.  Shared
+    by the plain and kernel-sharded engines."""
+    addop_t = manifolds.broadcast_ops(addop, d)
+    diffop_t = manifolds.broadcast_ops(diffop, d)
+    get_mu_t = manifolds.broadcast_ops(get_mu, d)
+    get_lambda_t = manifolds.broadcast_ops(get_lambda, d)
+    if manifolds.is_euclidean(addop_t, manifolds.euclid_add):
+        addop_t = None
+    if manifolds.is_euclidean(diffop_t, manifolds.euclid_diff):
+        diffop_t = None
+    if manifolds.is_euclidean(get_lambda_t, manifolds.euclid_lambda) and \
+       manifolds.is_euclidean(get_mu_t, manifolds.euclid_mu):
+        get_mu_t = get_lambda_t = None
+    elif get_mu_t is None:
+        get_mu_t = (manifolds.euclid_mu,) * d
+    elif get_lambda_t is None:
+        get_lambda_t = (manifolds.euclid_lambda,) * d
+    return addop_t, diffop_t, get_mu_t, get_lambda_t
+
+
 # ---------------------------------------------------------------------------
 # in-jit primitives
 # ---------------------------------------------------------------------------
@@ -328,6 +354,23 @@ def _select_label(u, logits):
     return jnp.clip(z, 0, logits.shape[0] - 1)
 
 
+def _select_label_gumbel(key, logits):
+    """Gumbel-max categorical draw for the KEYED path: ``argmax(logits + G)``
+    with iid Gumbel noise samples the same softmax(logits) distribution as
+    the inverse-CDF scan, in one fused noise-add plus one argmax -- the CDF
+    chain's exp/normalize/cumsum/compare/count stages (each materializing a
+    [chains, n_l] tensor in the vmapped program) collapse to ~2 passes over
+    the logits.  Only legal where no trace contract exists: the keyed path
+    (PARITY.md "keyed reproducibility"); replay mode keeps
+    :func:`_select_label`.  The degenerate fallback composes transparently:
+    after :func:`_apply_dead_fallback` the dead-row logits are 0 for real
+    candidates / -inf for padding, and argmax over (0 + G) is exactly the
+    uniform draw the reference's fallback specifies
+    (src/MSGibbs01.jl:311-315)."""
+    g = jax.random.gumbel(key, logits.shape, logits.dtype)
+    return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # the chain kernel
 # ---------------------------------------------------------------------------
@@ -374,10 +417,11 @@ def _gibbs_all_chains(u, n_, lvl_arrays, t_mean, t_bw, mask, *,
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
                      "ndim", "n_levels", "addop", "diffop", "get_mu",
-                     "get_lambda", "add_entropy", "dtype"))
+                     "get_lambda", "add_entropy", "dtype", "select"))
 def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
                     n_out, bu, bn, offsets, n_iter, ndens, ndim, n_levels,
-                    addop, diffop, get_mu, get_lambda, add_entropy, dtype):
+                    addop, diffop, get_mu, get_lambda, add_entropy, dtype,
+                    select="cdf"):
     """Single-dispatch product: RNG stream generation + all chains + output
     transposes fused into ONE executable.  On the axon remote runtime each
     eager dispatch costs a ~1 ms round trip once any result has been
@@ -386,29 +430,38 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
     ku, kn = jax.random.split(key)
 
     # One flat stream draw for every layout: chain i always consumes row i
-    # of the key's [n_out, b] stream, so same-key outputs are invariant to
-    # the grouped-compute choice below (and no padded chains are ever drawn
+    # of the key's [n_out, b] stream (or, in gumbel mode, key i of the
+    # per-chain key split), so same-key outputs are invariant to the
+    # grouped-compute choice below (and no padded chains are ever drawn
     # or computed).  NOTE (PARITY.md "keyed reproducibility"): same-key
-    # sample *identity* is still only guaranteed within one build -- the
-    # contracts across versions/engines are distributional equality and
-    # replay mode.
-    u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
+    # sample *identity* is still only guaranteed within one build AND one
+    # `select` mode -- the contracts across versions/engines are
+    # distributional equality and replay mode.
+    if select == "cdf":
+        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
+    else:
+        u = jax.random.split(ku, n_out)          # [n_out, 2] chain keys
     n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
     def chain(u_row, n_row):
         return _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                           mask, n_iter, ndens, ndim, n_levels,
-                          addop, diffop, get_mu, get_lambda, add_entropy)
+                          addop, diffop, get_mu, get_lambda, add_entropy,
+                          select=select)
     pts, idx, labels = _grouped_vmap(chain, (u, n_), n_out)
     return pts.T, idx.T, jnp.transpose(labels, (0, 2, 1))
 
 
 def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                mask, n_iter, ndens, ndim, n_levels,
-               addop, diffop, get_mu, get_lambda, add_entropy):
+               addop, diffop, get_mu, get_lambda, add_entropy,
+               select="cdf"):
     """One Gibbs chain (vmapped over chains).  ``u_row``/``n_row`` are this
     chain's pre-generated uniform/normal streams, laid out in the reference's
-    consumption order (see module docstring).
+    consumption order (see module docstring).  With ``select="gumbel"``
+    (keyed path only) ``u_row`` is instead this chain's PRNG key: each
+    selection folds a unique static stage id into it and draws Gumbel noise
+    in-program (:func:`_select_label_gumbel`), replacing the CDF chain.
 
     Op-count discipline: on the axon runtime this program is bound by the
     latency of sequential kernel launches (~6.5 us each), so the level loop
@@ -439,9 +492,13 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
     # stream cursors (static layout)
     #   uniforms: [ndens init] ++ per level ([ndens cond] ++ [n_iter*ndens gibbs])
     #   normals:  [(n_levels+1) * ndim]
-    u_cond = u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)[:, :ndens]
-    u_gibbs = (u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)
-               [:, ndens:].reshape(n_levels, n_iter, ndens))
+    if select == "cdf":
+        u_cond = u_row[ndens:].reshape(n_levels,
+                                       (1 + n_iter) * ndens)[:, :ndens]
+        u_gibbs = (u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)
+                   [:, ndens:].reshape(n_levels, n_iter, ndens))
+    else:                       # gumbel: u_row IS this chain's PRNG key
+        chain_key = u_row
     normals = n_row.reshape(n_levels + 1, ndim)
 
     # initial selection: every tree's root (node 0); its stats are static
@@ -480,7 +537,11 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
             lambda m, b, lw, a: _kernel_logits(m, b, lw, x, None, a,
                                                diffop, with_cov=False)
         )(lvl_mean, lvl_bw, lvl_logw, act_all)                  # [dn, w]
-        zs = jax.vmap(_select_label)(u_cond[l - 1], logits)     # [dn]
+        if select == "cdf":
+            zs = jax.vmap(_select_label)(u_cond[l - 1], logits)  # [dn]
+        else:
+            zs = _select_label_gumbel(
+                jax.random.fold_in(chain_key, l), logits)        # [dn]
         onehot = iota_w[None, :] == zs[:, None]                 # [dn, w]
         sel = jnp.sum(jnp.where(onehot[:, :, None], lvl_ms, 0.0), axis=1)
         mu_sel = jnp.where(mask, sel[:, :ndim], 0.0)
@@ -498,7 +559,16 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                 logits = _kernel_logits(lvl_mean[j], lvl_bw[j],
                                         lvl_logw[j], mu, cov, act_all[j],
                                         diffop, with_cov=True)
-                z = _select_label(u_gibbs[l - 1, t, j], logits)
+                if select == "cdf":
+                    z = _select_label(u_gibbs[l - 1, t, j], logits)
+                else:
+                    # unique static stage id per (level, sweep, density):
+                    # levels own ids 1..n_levels for the conditioning
+                    # selections, sweeps continue above them
+                    sid = (n_levels + 1
+                           + ((l - 1) * n_iter + t) * ndens + j)
+                    z = _select_label_gumbel(
+                        jax.random.fold_in(chain_key, sid), logits)
                 nm, nv, perm = select_stats(iota_w == z, lvl_ms[j],
                                             lvl_perm[j], mask[j])
                 mu_sel = mu_sel.at[j].set(nm)
@@ -532,6 +602,17 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
 # public API
 # ---------------------------------------------------------------------------
 
+def resolve_select(select: str) -> str:
+    """Resolve the keyed-path selection mode: ``auto`` reads
+    ``config.GIBBS_SELECT`` at call time (jit static arg -- distinct modes
+    compile distinct executables and coexist in the cache)."""
+    from .. import config
+    if select == "auto":
+        select = config.GIBBS_SELECT
+    if select not in ("cdf", "gumbel"):
+        raise ValueError(f"select must be auto|cdf|gumbel, got {select!r}")
+    return select
+
 def prod_appx_ms_gibbs(npd0,
                        densities: Sequence[KDE],
                        an_fcns=None,
@@ -548,7 +629,8 @@ def prod_appx_ms_gibbs(npd0,
                        record_labels: bool = False,
                        key=None,
                        dtype=None,
-                       plan: str = "auto"):
+                       plan: str = "auto",
+                       select: str = "auto"):
     """Draw samples from (an approximation of) the product of ``densities``.
 
     Mirrors the reference ``prodAppxMSGibbsS`` (src/MSGibbs01.jl:645-703):
@@ -572,6 +654,11 @@ def prod_appx_ms_gibbs(npd0,
       plan: ``auto`` (device-built level hierarchy for device-resident
         densities, host ball tree otherwise), ``host``, or ``device``
         (ops/device_plan.py).
+      select: keyed-path label-selection arithmetic -- ``auto`` (the
+        measured default, ``config.GIBBS_SELECT``), ``cdf`` (the
+        reference-shaped inverse-CDF chain), or ``gumbel``
+        (argmax(logits+G); distributionally identical, fewer materialized
+        stages).  Replay mode always uses ``cdf`` (trace contract).
 
     Returns ``(points [d, Np], indices [ndens, Np])`` -- 0-based kernel
     labels -- plus ``labels [Np, ndens, n_levels]`` if ``record_labels``.
@@ -592,25 +679,8 @@ def prod_appx_ms_gibbs(npd0,
         mask = jnp.asarray(
             np.asarray(partial_dim_mask, dtype=bool).reshape(dn, d))
 
-    addop_t = manifolds.broadcast_ops(addop, d)
-    diffop_t = manifolds.broadcast_ops(diffop, d)
-    get_mu_t = manifolds.broadcast_ops(get_mu, d)
-    get_lambda_t = manifolds.broadcast_ops(get_lambda, d)
-    if manifolds.is_euclidean(addop_t, manifolds.euclid_add):
-        addop_t = None
-    if manifolds.is_euclidean(diffop_t, manifolds.euclid_diff):
-        diffop_t = None
-    if manifolds.is_euclidean(get_lambda_t, manifolds.euclid_lambda) and \
-       manifolds.is_euclidean(get_mu_t, manifolds.euclid_mu):
-        get_mu_t = get_lambda_t = None
-    elif get_mu_t is None:
-        # custom get_lambda with default get_mu (or vice versa below): fill
-        # the default explicitly so the generic information-form path runs
-        # -- the (None, tuple) mix would either crash at get_mu[k] or take
-        # the Euclidean fast path and silently ignore the custom hook
-        get_mu_t = (manifolds.euclid_mu,) * d
-    elif get_lambda_t is None:
-        get_lambda_t = (manifolds.euclid_lambda,) * d
+    addop_t, diffop_t, get_mu_t, get_lambda_t = normalize_hooks(
+        addop, diffop, get_mu, get_lambda, d)
 
     # Two Pallas alternatives were built and A/B-measured against this jnp
     # program (completion-forced, interleaved; BASELINE.md "Engine
@@ -639,7 +709,7 @@ def prod_appx_ms_gibbs(npd0,
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
             addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
             get_lambda=get_lambda_t, add_entropy=add_entropy,
-            dtype=jnp.dtype(dtype).name)
+            dtype=jnp.dtype(dtype).name, select=resolve_select(select))
         out = (pts_t, idx_t)
         if record_labels:
             out = out + (labels_t,)
@@ -816,11 +886,11 @@ def product_batched(density_sets,
     jax.jit,
     static_argnames=("n_out", "bu", "bn", "offsets", "n_iter", "ndens",
                      "ndim", "n_levels", "addop", "diffop", "get_mu",
-                     "get_lambda", "add_entropy", "dtype"))
+                     "get_lambda", "add_entropy", "dtype", "select"))
 def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
                         mask, *, n_out, bu, bn, offsets, n_iter, ndens,
                         ndim, n_levels, addop, diffop, get_mu, get_lambda,
-                        add_entropy, dtype):
+                        add_entropy, dtype, select="cdf"):
     """B independent products over B density sets in ONE dispatch: the plan
     arrays carry a leading set axis and the whole keyed product is vmapped
     over it.  ``key`` is split into one key per set, so set ``i``'s output
@@ -837,7 +907,8 @@ def _gibbs_batched_sets(key, lvl_arrays, t_mean, t_bw,
             k, lvl, tm, tb, m, n_out=n_out, bu=bu, bn=bn,
             offsets=offsets, n_iter=n_iter, ndens=ndens, ndim=ndim,
             n_levels=n_levels, addop=addop, diffop=diffop, get_mu=get_mu,
-            get_lambda=get_lambda, add_entropy=add_entropy, dtype=dtype)
+            get_lambda=get_lambda, add_entropy=add_entropy, dtype=dtype,
+            select=select)
     return jax.vmap(one)(keys, lvl_arrays, t_mean, t_bw, mask)
 
 
@@ -965,7 +1036,7 @@ class BatchedProductSampler:
             partial_dim_masks = self._masks_arg
         self._build(density_sets, partial_dim_masks)
 
-    def sample(self, key):
+    def sample(self, key, select: str = "auto"):
         """Returns (points [B, d, n_out], labels [B, ndens, n_out])."""
         key = ensure_key(key)
         addop, diffop, get_mu, get_lambda = self.hooks
@@ -976,7 +1047,7 @@ class BatchedProductSampler:
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
             addop=addop, diffop=diffop, get_mu=get_mu,
             get_lambda=get_lambda, add_entropy=self.add_entropy,
-            dtype=self._dtype_name)
+            dtype=self._dtype_name, select=resolve_select(select))
         return pts, idx
 
 
@@ -1016,7 +1087,8 @@ class ProductSampler:
         self.bu = dn * (1 + self.plan.n_levels * (1 + n_iter))
         self.bn = d * (self.plan.n_levels + 1)
 
-    def sample(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def sample(self, key, select: str = "auto") \
+            -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (points [d, n_out], labels [ndens, n_out])."""
         key = ensure_key(key)
         p = self.plan
@@ -1028,5 +1100,5 @@ class ProductSampler:
             ndim=p.ndim, n_levels=p.n_levels, addop=addop, diffop=diffop,
             get_mu=get_mu, get_lambda=get_lambda,
             add_entropy=self.add_entropy,
-            dtype=jnp.dtype(self.dtype).name)
+            dtype=jnp.dtype(self.dtype).name, select=resolve_select(select))
         return pts_t, idx_t

@@ -51,7 +51,6 @@ import numpy as np
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import manifolds
 from ..density import KDE
 from ..ops import gibbs as _g
 from ..utils.random import ensure_key
@@ -189,10 +188,19 @@ def _select_sharded(u, logits, lvl_logw_j, n_shards):
 
 
 def _run_chain_ks(u_row, n_row, lvl_arrays, loc_offsets, mask,
-                  n_iter, ndens, ndim, n_levels, n_shards, add_entropy):
+                  n_iter, ndens, ndim, n_levels, n_shards, add_entropy,
+                  addop=None, diffop=None, get_mu=None, get_lambda=None):
     """One Gibbs chain with candidate arrays sharded over ``kernels``.
     Level/stream schedule identical to ops/gibbs.py::_run_chain (same
-    consumption order -> replayable against the same injected streams)."""
+    consumption order -> replayable against the same injected streams).
+
+    Manifold hooks thread through exactly as in the plain engine: they
+    touch only the LOCAL per-shard arithmetic (candidate logits, the
+    information-form product, the sample draw); every collective -- the
+    CDF partial sums, the integer index psum, the one-hot stat reduction,
+    the degenerate-predicate psum -- reduces hook-independent quantities,
+    so the sharded formulation needs no manifold-aware communication
+    (reference hook threading: src/MSGibbs01.jl:141-161,672-675)."""
     lvl_mean_c, lvl_bw_c, lvl_logw_c, lvl_ms_c, lvl_perm_c, \
         root_mean, root_bw = lvl_arrays
 
@@ -201,8 +209,13 @@ def _run_chain_ks(u_row, n_row, lvl_arrays, loc_offsets, mask,
     act_all = mask & union_other
 
     def sample_point(mu_sel, var_sel, normals, jitter):
-        mu, cov = _g._gauss_product(mu_sel, var_sel, mask, -1, None, None)
-        x = mu + jnp.sqrt(cov) * normals
+        mu, cov = _g._gauss_product(mu_sel, var_sel, mask, -1,
+                                    get_mu, get_lambda)
+        step = jnp.sqrt(cov) * normals
+        if addop is None:
+            x = mu + step
+        else:
+            x = jnp.stack([addop[k](mu[k], step[k]) for k in range(ndim)])
         return jnp.where(jitter, x, mu)
 
     u_cond = u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)[:, :ndens]
@@ -226,7 +239,7 @@ def _run_chain_ks(u_row, n_row, lvl_arrays, loc_offsets, mask,
         # (2,3) conditioning re-selection, batched over densities
         logits = jax.vmap(
             lambda m, b, lw, a: _g._kernel_logits_raw(m, b, lw, x, None, a,
-                                                      None, with_cov=False)
+                                                      diffop, with_cov=False)
         )(lvl_mean, lvl_bw, lvl_logw, act_all)              # [dn, w_loc]
         onehot = jax.vmap(lambda uu, lg, lw: _select_sharded(
             uu, lg, lw, n_shards))(u_cond[l - 1], logits, lvl_logw)
@@ -243,10 +256,10 @@ def _run_chain_ks(u_row, n_row, lvl_arrays, loc_offsets, mask,
             mu_sel, var_sel, perms = carry
             for j in range(ndens):
                 mu, cov = _g._gauss_product(mu_sel, var_sel, mask, j,
-                                            None, None)
+                                            get_mu, get_lambda)
                 lg = _g._kernel_logits_raw(lvl_mean[j], lvl_bw[j],
                                            lvl_logw[j], mu, cov, act_all[j],
-                                           None, with_cov=True)
+                                           diffop, with_cov=True)
                 oh = _select_sharded(u_gibbs[l - 1, t, j], lg, lvl_logw[j],
                                      n_shards)
                 sel = lax.psum(jnp.sum(jnp.where(oh[:, None], lvl_ms[j], 0.0),
@@ -272,7 +285,8 @@ def _run_chain_ks(u_row, n_row, lvl_arrays, loc_offsets, mask,
 @functools.lru_cache(maxsize=64)
 def _build_ks_program(mesh: Mesh, has_chains: bool, loc_offsets, n_iter: int,
                       ndens: int, ndim: int, n_levels: int, n_shards: int,
-                      add_entropy: bool):
+                      add_entropy: bool, addop=None, diffop=None,
+                      get_mu=None, get_lambda=None):
     chain2 = P(CHAINS, None) if has_chains else P(None, None)
     chain_l = P(CHAINS, None, None) if has_chains else P(None, None, None)
 
@@ -284,7 +298,8 @@ def _build_ks_program(mesh: Mesh, has_chains: bool, loc_offsets, n_iter: int,
         def one(u_row, n_row):
             return _run_chain_ks(u_row, n_row, lvl, loc_offsets, mask,
                                  n_iter, ndens, ndim, n_levels, n_shards,
-                                 add_entropy)
+                                 add_entropy, addop=addop, diffop=diffop,
+                                 get_mu=get_mu, get_lambda=get_lambda)
         return jax.vmap(one)(u, n_)
 
     f = shard_map(
@@ -312,13 +327,26 @@ def prod_appx_ms_gibbs_kernel_sharded(mesh: Mesh,
                                       rand_u: Optional[np.ndarray] = None,
                                       rand_n: Optional[np.ndarray] = None,
                                       record_labels: bool = False,
-                                      dtype=None):
+                                      dtype=None,
+                                      addop=None,
+                                      diffop=None,
+                                      get_mu=None,
+                                      get_lambda=None):
     """Gibbs product with every density's component axis sharded over
     ``mesh``'s ``kernels`` axis (and chains over a ``chains`` axis when the
     mesh has one).  Arguments and returns match
     :func:`kde_tpu.prod_appx_ms_gibbs`; given the same injected
     ``rand_u``/``rand_n`` streams the output replays the serial reference
     trace (tests/test_kernel_sharded.py).
+
+    Manifold hooks: pass ``addop``/``diffop``/``get_mu``/``get_lambda``
+    explicitly (mirroring :func:`prod_appx_ms_gibbs`); when none are
+    given, hooks attached to the densities are collected with the same
+    consistency rule as ``product()`` (identical quadruple across
+    densities, no silent-Euclidean fallback).  The hooks only enter the
+    local per-shard arithmetic -- the collectives reduce hook-independent
+    scalars/one-hots -- so on-manifold products shard exactly like
+    Euclidean ones (tests/test_kernel_sharded.py circular rows).
 
     Use when per-density component counts outgrow one chip's HBM -- the
     per-level candidate arrays AND the per-chain level work are both split
@@ -333,16 +361,11 @@ def prod_appx_ms_gibbs_kernel_sharded(mesh: Mesh,
     densities = list(densities)
     if dtype is None:
         dtype = densities[0].dtype      # property: no lazy device upload
-    for p in densities:
-        if not (manifolds.is_euclidean(p.addop, manifolds.euclid_add)
-                and manifolds.is_euclidean(p.diffop, manifolds.euclid_diff)
-                and manifolds.is_euclidean(getattr(p, "get_mu", None),
-                                           manifolds.euclid_mu)
-                and manifolds.is_euclidean(getattr(p, "get_lambda", None),
-                                           manifolds.euclid_lambda)):
-            raise ValueError("kernel-sharded products support Euclidean "
-                             "densities only; use prod_appx_ms_gibbs for "
-                             "on-manifold densities")
+    if all(h is None for h in (addop, diffop, get_mu, get_lambda)):
+        addop, diffop, get_mu, get_lambda = _g._density_hooks(densities)
+    d_hooks = _g.normalize_hooks(addop, diffop, get_mu, get_lambda,
+                                 densities[0].ndim)
+    addop, diffop, get_mu, get_lambda = d_hooks
     plan = _get_ks_plan(densities, n_out, dtype, n_shards)
     dn, d, n_levels = plan.ndens, plan.ndim, plan.n_levels
 
@@ -385,7 +408,8 @@ def prod_appx_ms_gibbs_kernel_sharded(mesh: Mesh,
 
     program = _build_ks_program(mesh, has_chains, tuple(plan.loc_offsets),
                                 n_iter, dn, d, n_levels, n_shards,
-                                add_entropy)
+                                add_entropy, addop=addop, diffop=diffop,
+                                get_mu=get_mu, get_lambda=get_lambda)
     pts, idx, labels = program(u, n_, *args)
     out = (pts[:n_out].T, idx[:n_out].T)
     if record_labels:

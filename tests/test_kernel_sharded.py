@@ -134,6 +134,75 @@ def test_kernel_sharded_exact_ties():
                                atol=1e-12)
 
 
+def _circular_hooks():
+    from kde_tpu import manifolds as mf
+    return dict(addop=(mf.circular_add,), diffop=(mf.circular_diff,),
+                get_mu=(mf.circular_mu,), get_lambda=(mf.circular_lambda,))
+
+
+def test_kernel_sharded_circular_trace_exact():
+    """Manifold-hooked sharded product == the plain engine under the same
+    injected streams, on the 8-device mesh (VERDICT r4 #6): the hooks only
+    enter per-shard local arithmetic, so the collective CDF decomposition
+    must not move a single label even with kernels wrapped across +/-pi."""
+    rng = np.random.default_rng(11)
+    d, n, n_out, n_iter = 2, 48, 8, 2
+    # mass on both sides of the wrap in dim 0; plain Euclidean-ish dim 1
+    ang = np.where(rng.uniform(size=n) < 0.5,
+                   np.pi - 0.1 * rng.uniform(size=n),
+                   -np.pi + 0.1 * rng.uniform(size=n))
+    hooks = _circular_hooks()
+    dens = [kde(np.vstack([ang + 0.02 * j, rng.normal(size=n)]),
+                [0.3, 0.4], **hooks) for j in range(2)]
+    ru, rn = _streams(rng, 2, d, n_out, n_iter, max(n, n_out))
+
+    pts_1, idx_1, lab_1 = prod_appx_ms_gibbs(
+        n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn,
+        record_labels=True, **hooks)
+    pts_k, idx_k, lab_k = prod_appx_ms_gibbs_kernel_sharded(
+        _kmesh(8), n_out, dens, n_iter=n_iter, rand_u=ru, rand_n=rn,
+        record_labels=True, **hooks)
+
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_1))
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_1))
+    np.testing.assert_allclose(np.asarray(pts_k), np.asarray(pts_1),
+                               rtol=1e-12, atol=1e-14)
+    # the product lives on the circle: sampled angles stay in (-pi, pi]
+    a = np.asarray(pts_k)[0]
+    assert np.all((a > -np.pi - 1e-9) & (a <= np.pi + 1e-9))
+
+
+def test_kernel_sharded_collects_density_hooks():
+    """Densities carrying the circular quadruple flow their hooks into the
+    sharded engine automatically (same rule as product()); mixing hooked
+    and hook-free densities raises instead of silently sampling
+    Euclidean."""
+    rng = np.random.default_rng(12)
+    hooks = _circular_hooks()
+    n = 32
+    ang = np.pi - 0.05 * rng.uniform(size=n)
+    p1 = kde(ang[None, :], [0.3], **hooks)
+    p2 = kde((-ang)[None, :], [0.3], **hooks)
+    ru, rn = _streams(rng, 2, 1, 8, 2, max(n, 8))
+    pts_auto, idx_auto = prod_appx_ms_gibbs_kernel_sharded(
+        _kmesh(8), 8, [p1, p2], n_iter=2, rand_u=ru, rand_n=rn)
+    pts_exp, idx_exp = prod_appx_ms_gibbs_kernel_sharded(
+        _kmesh(8), 8, [p1, p2], n_iter=2, rand_u=ru, rand_n=rn, **hooks)
+    np.testing.assert_array_equal(np.asarray(idx_auto), np.asarray(idx_exp))
+    np.testing.assert_allclose(np.asarray(pts_auto), np.asarray(pts_exp),
+                               rtol=1e-12, atol=1e-14)
+    # the wrap-straddling product mean must sit at +/-pi, not 0: the
+    # Euclidean information mean of angles near +pi and -pi would land
+    # near 0, so this asserts the hooks actually reached the engine
+    a = np.asarray(pts_auto)[0]
+    assert np.all(np.abs(a) > np.pi / 2)
+
+    p3 = kde(rng.normal(size=(1, n)), [0.3])          # hook-free
+    with pytest.raises(ValueError):
+        prod_appx_ms_gibbs_kernel_sharded(
+            _kmesh(8), 8, [p1, p3], n_iter=2, rand_u=ru, rand_n=rn)
+
+
 def test_kernel_sharded_degenerate_far_apart():
     """Far-apart densities: the globally-reduced degenerate predicate
     (pmax + psum logsumexp < log 1e-99) must fire on every shard exactly
