@@ -67,6 +67,20 @@ GOLDEN_UNROLL: int = 24
 GOLDEN_LOOKAHEAD: int = 0
 LOOKAHEAD_WORK_LIMIT: int = 1 << 26
 
+# Label-selection arithmetic for the KEYED (non-replay) Gibbs product path:
+#   "cdf"    -- normalize/cumsum/count-below inverse-CDF draw, the same
+#               arithmetic shape as the reference and the replay path
+#               (ops/gibbs.py::_select_label);
+#   "gumbel" -- argmax(logits + Gumbel noise): one fused noise-add and one
+#               argmax per selection instead of the ~6 materialized
+#               [chains, n_l] tensors of the CDF chain.  Distributionally
+#               identical categorical draw; keyed outputs differ per key
+#               (no trace contract on the keyed path -- PARITY.md "keyed
+#               reproducibility").  Replay mode (rand_u=) ALWAYS uses the
+#               CDF form regardless of this flag.
+# Default from the round-5 interleaved real-TPU A/B (tools/ab_gumbel.py).
+GIBBS_SELECT: str = "cdf"
+
 # -- size-gated HOST fast paths (ops/host_small.py) ---------------------------
 # On the axon remote-TPU runtime every dispatch is a network round trip
 # (~1 ms in the degraded regime, ~30 ms for a blocking fetch), so

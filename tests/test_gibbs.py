@@ -181,6 +181,98 @@ def test_sampler_accepts_int_keys():
     assert np.asarray(q1).shape == (1, 1, 16)
 
 
+def test_gumbel_select_distribution_exact():
+    """argmax(logits + Gumbel) draws the same categorical as the
+    inverse-CDF scan: empirical label frequencies over many chains match
+    softmax(logits) within MC error, for a product whose level logits are
+    nontrivial (kde_tpu/ops/gibbs.py::_select_label_gumbel)."""
+    from kde_tpu.ops.gibbs import _select_label_gumbel
+    import jax.numpy as jnp
+    logits = jnp.log(jnp.asarray([0.5, 0.25, 0.125, 0.0625, 0.0625]))
+    n = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    zs = np.asarray(jax.vmap(lambda k: _select_label_gumbel(k, logits))(keys))
+    freq = np.bincount(zs, minlength=5) / n
+    p = np.asarray(jnp.exp(logits))
+    # 4-sigma binomial bands per category
+    se = np.sqrt(p * (1 - p) / n)
+    assert np.all(np.abs(freq - p) < 4 * se), (freq, p)
+    # -inf logits (padding) are never selected
+    logits2 = jnp.asarray([0.0, -jnp.inf, 0.0, -jnp.inf])
+    zs2 = np.asarray(jax.vmap(
+        lambda k: _select_label_gumbel(k, logits2))(keys[:2000]))
+    assert set(np.unique(zs2)) <= {0, 2}
+
+
+def test_gumbel_keyed_product_moments():
+    """The full keyed product under select='gumbel' passes the reference's
+    moment brackets (distributional-equality contract for the keyed path,
+    PARITY.md 'keyed reproducibility')."""
+    def trial(key, D=2, M=4, N=100, n=100, mcmc=5):
+        keys = jax.random.split(key, M + 1)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31)))
+        dens = [kde(rng.normal(size=(D, N))) for _ in range(M)]
+        pts, idx = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1],
+                                      select="gumbel")
+        pts = np.asarray(pts)
+        idx = np.asarray(idx)
+        assert np.all((idx >= 0) & (idx < N))
+        prod_dev = np.sqrt(1.0 / M)
+        return (np.linalg.norm(pts.mean(axis=1)) < prod_dev
+                and all(0.66 * prod_dev < pts[i].std() < 1.33 * prod_dev
+                        for i in range(D)))
+    keys = jax.random.split(jax.random.PRNGKey(31), 10)
+    assert sum(trial(k) for k in keys) >= 5
+
+
+def test_gumbel_degenerate_fallback_uniform():
+    """Far-apart densities (total likelihood < 1e-99): the gumbel path's
+    fallback must be the reference's uniform draw over candidates, not a
+    near-deterministic pick of the least-distant kernel
+    (src/MSGibbs01.jl:311-315)."""
+    rng = np.random.default_rng(47)
+    n = 32
+    dens = [kde(rng.normal(size=(1, n)), [0.1]),
+            kde(rng.normal(size=(1, n)) + 1000.0, [0.1])]
+    pts, idx = prod_appx_ms_gibbs(512, dens, n_iter=2,
+                                  key=jax.random.PRNGKey(5),
+                                  select="gumbel")
+    assert np.all(np.isfinite(np.asarray(pts)))
+    # uniform fallback spreads the leaf labels widely; a softmax pick
+    # would concentrate on the boundary kernels
+    counts = np.bincount(np.asarray(idx)[0], minlength=n)
+    assert (counts > 0).sum() > n * 0.7, counts
+
+
+def test_gumbel_batched_and_sampler_paths():
+    """select threads through ProductSampler and BatchedProductSampler;
+    same-key draws are deterministic per mode."""
+    rng = np.random.default_rng(48)
+    dens = [kde(rng.normal(size=(2, 64)), [0.4]) for _ in range(2)]
+    s = ProductSampler(dens, n_out=64, n_iter=2)
+    g1, _ = s.sample(9, select="gumbel")
+    g2, _ = s.sample(9, select="gumbel")
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.all(np.isfinite(np.asarray(g1)))
+    b = BatchedProductSampler([dens, dens], n_out=32, n_iter=2)
+    bg, bidx = b.sample(9, select="gumbel")
+    assert np.asarray(bg).shape == (2, 2, 32)
+    assert np.all(np.isfinite(np.asarray(bg)))
+    assert np.all(np.asarray(bidx) >= 0) and np.all(np.asarray(bidx) < 64)
+
+
+def test_select_auto_reads_config():
+    import pytest
+    from kde_tpu import config
+    from kde_tpu.ops.gibbs import resolve_select
+    assert resolve_select("auto") == config.GIBBS_SELECT
+    assert resolve_select("cdf") == "cdf"
+    assert resolve_select("gumbel") == "gumbel"
+    with pytest.raises(ValueError):
+        resolve_select("bogus")
+
+
 def test_batched_refresh_keeps_masks():
     rng = np.random.default_rng(46)
     mk = lambda: [kde(rng.normal(size=(2, 32)), [0.4]) for _ in range(2)]
