@@ -116,6 +116,61 @@ def b_sweep(bs=(2, 4, 5, 6, 7, 8), work=480_000, rounds=8):
     print("done", flush=True)
 
 
+def _batched_mem(sampler, select):
+    """Compiled-program memory analysis of the batched sampler's executable
+    (same statics as sample())."""
+    from kde_tpu.ops.gibbs import _gibbs_batched_sets, resolve_select
+    addop, diffop, get_mu, get_lambda = sampler.hooks
+    lowered = _gibbs_batched_sets.lower(
+        jax.random.PRNGKey(0), sampler.lvl_arrays, sampler.t_mean,
+        sampler.t_bw, sampler.mask, n_out=sampler.n_out, bu=sampler.bu,
+        bn=sampler.bn, offsets=sampler.offsets, n_iter=sampler.n_iter,
+        ndens=sampler.ndens, ndim=sampler.ndim, n_levels=sampler.n_levels,
+        addop=addop, diffop=diffop, get_mu=get_mu, get_lambda=get_lambda,
+        add_entropy=sampler.add_entropy, dtype=sampler._dtype_name,
+        select=resolve_select(select))
+    return lowered.compile().memory_analysis()
+
+
+def b_select_sweep(bs=(4, 6, 8, 10, 12), selects=("cdf", "gumbel"),
+                   work=480_000, rounds=8):
+    """Round-5 headline search: PRODUCTS_PER_CALL x selection-arithmetic
+    grid (VERDICT r4 #1).  All (B, select) arms interleaved round-robin;
+    per-arm best over ``rounds``.  Also prints the compiled program's
+    peak-memory analysis per arm (the round-3 B=8 regression was blamed on
+    a VMEM spill -- this records what actually grows)."""
+    rng = np.random.default_rng(0)
+    dens = _headline_densities(rng)
+    samplers = {b: BatchedProductSampler([dens] * b, n_out=N_OUT,
+                                         n_iter=N_ITER) for b in bs}
+    arms = [(b, s) for b in bs for s in selects]
+    for b, s in arms:
+        fence(samplers[b].sample(jax.random.PRNGKey(0), select=s)[0])
+        try:                     # what actually grows with B: compiled
+            m = _batched_mem(samplers[b], s)     # temp (spill) vs args
+            print(f"B={b:2d} select={s:6s}: temp={m.temp_size_in_bytes:>12,}"
+                  f"  args={m.argument_size_in_bytes:>11,}"
+                  f"  code={m.generated_code_size_in_bytes:>10,}",
+                  flush=True)
+        except Exception as e:
+            print(f"B={b:2d} select={s:6s}: memory_analysis unavailable "
+                  f"({type(e).__name__})", flush=True)
+    best = {a: 0.0 for a in arms}
+    for r in range(rounds):
+        for b, s in arms:
+            reps = max(1, work // (b * N_OUT))
+            t0 = time.perf_counter()
+            outs = [samplers[b].sample(jax.random.PRNGKey(1000 * r + i + 1),
+                                       select=s)[0] for i in range(reps)]
+            fence(*outs)
+            best[(b, s)] = max(best[(b, s)],
+                               b * N_OUT * reps / (time.perf_counter() - t0))
+    for b, s in arms:
+        print(f"B={b:2d} select={s:6s}: {best[(b, s)]:9.0f} samples/s",
+              flush=True)
+    print("done", flush=True)
+
+
 def single_reps_sweep(rounds=8):
     """Single 2x1000-comp product latency at increasing queue depth."""
     rng = np.random.default_rng(0)
@@ -137,6 +192,7 @@ def single_reps_sweep(rounds=8):
 STAGES = {"star-reps": star_reps_sweep,
           "headline-reps": headline_reps_sweep,
           "b-sweep": b_sweep,
+          "b-select-sweep": b_select_sweep,
           "single-reps": single_reps_sweep}
 
 

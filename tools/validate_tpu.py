@@ -14,6 +14,11 @@ Round 3 adds (VERDICT r2 #5):
   mesh (statistical acceptance of parallel/gibbs_kernel_sharded.py beyond
   the tiny trace-parity shapes).
 
+Round 5 adds (VERDICT r4 #2): manifold-hooked rows on the real chip --
+circular S^1 products straddling the +/-pi seam, an SE(2)-style mixed-dims
+row (brackets computed on-manifold), and batched-sets serving-engine rows
+(Euclidean + circular) -- see run_manifold_rows.
+
 Run: python tools/validate_tpu.py   (on a TPU-attached host)
 
 Writes the results to VALIDATE_TPU.json at the repo root (the recorded
@@ -90,6 +95,159 @@ def run_main_grid():
     return rows, ok, jax.default_backend()
 
 
+def _wrap(a):
+    import numpy as np
+    return a - 2.0 * np.pi * np.round(a / (2.0 * np.pi))
+
+
+def run_manifold_rows():
+    """Manifold-hooked and batched-sets acceptance on the accelerator
+    (VERDICT r4 #2): the hermetic manifold tests pin CPU/f64 equality only;
+    these rows record that the f32 wrap arithmetic at +/-pi and the batched
+    serving engine hold up statistically on the real chip.
+
+    Constructions are DISCRIMINATING: the circular densities sit TIGHTLY
+    either side of the +/-pi seam (reference hook seam
+    src/MSGibbs01.jl:672-675) with no sample mass crossing it, so a
+    silently-Euclidean engine concentrates the product near the Euclidean
+    midpoint ~0 -- a wrapped residual of ~pi, outside every bracket below
+    -- while the on-manifold product lands at pi.  (Verified on CPU: the
+    hook-free engine scores 0/10 on these rows.)  Brackets are the
+    reference's coarse moment brackets (test/runtests.jl:167-182) with
+    residuals taken on-manifold."""
+    import numpy as np, jax, jax.numpy as jnp
+    from kde_tpu import (BatchedProductSampler, kde, manifolds,
+                         prod_appx_ms_gibbs)
+
+    CIRC = dict(addop=(manifolds.circular_add,),
+                diffop=(manifolds.circular_diff,),
+                get_mu=(manifolds.circular_mu,),
+                get_lambda=(manifolds.circular_lambda,))
+    BW = 0.1
+    NOISE = 0.05             # 6 sigma below the 0.3 seam margin: no sample
+    OFF = 0.3                # crosses +/-pi, so Euclidean product mass
+                             # lands near 0 (wrapped residual ~pi) -> fails
+
+    def circ_dens(rng, N, offset, noise=NOISE, **hooks):
+        th = _wrap(np.pi + offset + noise * rng.normal(size=(1, N)))
+        return kde(th, [BW], dtype=jnp.float32, **hooks)
+
+    def circ_ok(th, M, noise=NOISE):
+        """Circular analog of moment_ok around the true center pi: residual
+        mean within prod_dev, residual std in the reference's 0.66-1.33
+        band.  dev = per-density std (sample noise + kernel bw)."""
+        dev = float(np.hypot(noise, BW))
+        prod_dev = dev / np.sqrt(M)
+        d = _wrap(np.asarray(th) - np.pi)
+        return bool(abs(d.mean()) < 1.0 * prod_dev
+                    and 0.66 * prod_dev < d.std() < 1.33 * prod_dev)
+
+    rows, ok = [], True
+
+    # -- circular S^1 product, M densities straddling the wrap ------------
+    def circ_trial(key, M, N=100, n=100, mcmc=5):
+        keys = jax.random.split(key, 2)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+        offs = np.linspace(-OFF, OFF, M)
+        dens = [circ_dens(rng, N, o, **CIRC) for o in offs]
+        pts, _ = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1],
+                                    **CIRC)
+        return circ_ok(np.asarray(pts)[0], M)
+
+    for M in (2, 4):
+        keys = jax.random.split(jax.random.PRNGKey(31), 10)
+        wins = int(sum(circ_trial(k, M) for k in keys))
+        ok &= wins >= 5
+        rows.append({"D": 1, "M": M, "N": 100, "n": 100, "mcmc": 5,
+                     "plan": "circular(S1)", "wins": wins, "of": 10})
+        print(f"circular S1 M={M}: {wins}/10 trials passed (need >=5)",
+              flush=True)
+
+    # -- SE(2)-style mixed dims: (x, y) Euclidean + theta circular --------
+    SE2 = dict(
+        addop=(manifolds.euclid_add, manifolds.euclid_add,
+               manifolds.circular_add),
+        diffop=(manifolds.euclid_diff, manifolds.euclid_diff,
+                manifolds.circular_diff),
+        get_mu=(manifolds.euclid_mu, manifolds.euclid_mu,
+                manifolds.circular_mu),
+        get_lambda=(manifolds.euclid_lambda, manifolds.euclid_lambda,
+                    manifolds.circular_lambda))
+
+    def se2_trial(key, M=3, N=100, n=100, mcmc=5, noise=NOISE):
+        keys = jax.random.split(key, 2)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+        offs = np.linspace(-OFF, OFF, M)
+        dens = []
+        for o in offs:
+            xy = rng.normal(size=(2, N))
+            th = _wrap(np.pi + o + noise * rng.normal(size=(1, N)))
+            dens.append(kde(np.vstack([xy, th]), [BW], dtype=jnp.float32,
+                            **SE2))
+        pts, _ = prod_appx_ms_gibbs(n, dens, n_iter=mcmc, key=keys[-1],
+                                    **SE2)
+        pts = np.asarray(pts)
+        # Euclidean dims: reference brackets with dev ~ sqrt(1 + bw^2)
+        dev = float(np.hypot(1.0, BW))
+        prod_dev = np.sqrt(dev ** (2 * M) / (M * dev ** 2))
+        e1 = np.linalg.norm(pts[:2].mean(axis=1)) < 1.0 * prod_dev
+        e2 = all(0.66 * prod_dev < pts[i].std() < 1.33 * prod_dev
+                 for i in range(2))
+        return bool(e1 and e2) and circ_ok(pts[2], M, noise)
+
+    keys = jax.random.split(jax.random.PRNGKey(37), 10)
+    wins = int(sum(se2_trial(k) for k in keys))
+    ok &= wins >= 5
+    rows.append({"D": 3, "M": 3, "N": 100, "n": 100, "mcmc": 5,
+                 "plan": "se2-mixed", "wins": wins, "of": 10})
+    print(f"SE(2) mixed dims M=3: {wins}/10 trials passed (need >=5)",
+          flush=True)
+
+    # -- batched-sets serving engine, Euclidean (the headline engine) -----
+    def batched_trial(key, B=4, D=2, M=2, N=100, n=100, mcmc=5):
+        keys = jax.random.split(key, 2)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+        sets = [[kde(rng.normal(size=(D, N)), dtype=jnp.float32)
+                 for _ in range(M)] for _ in range(B)]
+        s = BatchedProductSampler(sets, n_out=n, n_iter=mcmc)
+        pts, _ = s.sample(keys[-1])
+        pts = np.asarray(pts)
+        return all(moment_ok(pts[b], D, M) for b in range(B))
+
+    keys = jax.random.split(jax.random.PRNGKey(41), 10)
+    wins = int(sum(batched_trial(k) for k in keys))
+    ok &= wins >= 5            # each trial = ALL 4 sets in-bracket
+    rows.append({"D": 2, "M": 2, "N": 100, "n": 100, "mcmc": 5, "B": 4,
+                 "plan": "batched-sets(B=4)", "wins": wins, "of": 10})
+    print(f"batched-sets B=4 (all sets in-bracket): {wins}/10 "
+          "(need >=5)", flush=True)
+
+    # -- batched-sets with circular hooks (hooked serving path) -----------
+    def batched_circ_trial(key, B=4, M=2, N=100, n=100, mcmc=5):
+        keys = jax.random.split(key, 2)
+        rng = np.random.default_rng(
+            int(jax.random.randint(keys[0], (), 0, 2**31 - 1)))
+        offs = np.linspace(-OFF, OFF, M)
+        sets = [[circ_dens(rng, N, o, **CIRC) for o in offs]
+                for _ in range(B)]
+        s = BatchedProductSampler(sets, n_out=n, n_iter=mcmc)
+        pts, _ = s.sample(keys[-1])
+        pts = np.asarray(pts)
+        return all(circ_ok(pts[b, 0], M) for b in range(B))
+
+    keys = jax.random.split(jax.random.PRNGKey(43), 10)
+    wins = int(sum(batched_circ_trial(k) for k in keys))
+    ok &= wins >= 5
+    rows.append({"D": 1, "M": 2, "N": 100, "n": 100, "mcmc": 5, "B": 4,
+                 "plan": "batched-circular(B=4)", "wins": wins, "of": 10})
+    print(f"batched circular B=4 (all sets in-bracket): {wins}/10 "
+          "(need >=5)", flush=True)
+    return rows, ok
+
+
 def run_kernel_sharded_stage():
     """Child-process stage: statistical acceptance of the kernel-sharded
     engine on the virtual 8-device CPU mesh (VERDICT r2 #5b).  Prints one
@@ -132,6 +290,10 @@ def run_kernel_sharded_stage():
 
 def main():
     rows, ok, backend = run_main_grid()
+
+    mrows, mok = run_manifold_rows()
+    rows += mrows
+    ok &= mok
 
     # kernel-sharded stage in a child process (needs a virtual 8-device CPU
     # mesh; env must be set before jax import, hence the subprocess)
