@@ -202,7 +202,9 @@ def main():
     # 50k components the level stages are [chains, 50k] ~ 50 MB and the
     # program runs at the bandwidth roofline instead of the dispatch-latency
     # floor.  Continuously measured here so the envelope claim stays a
-    # recorded number (VERDICT r3 task 6).
+    # recorded number (VERDICT r3 task 6).  select="auto" size-routes this
+    # (256 chains, 50k width) to the blocked inverse-CDF form -- measured
+    # 2.06x the flat chain (round-5 grid, BASELINE.md).
     n_big = 50_000
     big = [kde(rng.normal(size=(2, n_big)).astype(np.float32),
                [float(1.06 * n_big ** -0.2)], dtype=dtype),

@@ -68,18 +68,45 @@ GOLDEN_LOOKAHEAD: int = 0
 LOOKAHEAD_WORK_LIMIT: int = 1 << 26
 
 # Label-selection arithmetic for the KEYED (non-replay) Gibbs product path:
-#   "cdf"    -- normalize/cumsum/count-below inverse-CDF draw, the same
-#               arithmetic shape as the reference and the replay path
-#               (ops/gibbs.py::_select_label);
-#   "gumbel" -- argmax(logits + Gumbel noise): one fused noise-add and one
-#               argmax per selection instead of the ~6 materialized
-#               [chains, n_l] tensors of the CDF chain.  Distributionally
-#               identical categorical draw; keyed outputs differ per key
-#               (no trace contract on the keyed path -- PARITY.md "keyed
-#               reproducibility").  Replay mode (rand_u=) ALWAYS uses the
-#               CDF form regardless of this flag.
-# Default from the round-5 interleaved real-TPU A/B (tools/ab_gumbel.py).
-GIBBS_SELECT: str = "cdf"
+#   "cdf"     -- flat normalize/cumsum/count-below inverse-CDF draw, the
+#                same arithmetic shape as the reference and the replay
+#                path (ops/gibbs.py::_select_label);
+#   "blocked" -- the SAME single-uniform inverse-CDF draw computed
+#                block-hierarchically (block sums -> pick block -> resolve
+#                within block): no full-width prefix sum, whose log-depth
+#                lowering is what grows the compiled batched program's
+#                temp footprint superlinearly (the round-4 "B=8 spill";
+#                25->158 MB from B=4 to B=8 measured round 5).  Exact-
+#                arithmetic-identical index per uniform; ulp-wide CDF
+#                boundary ties may resolve differently, so replay keeps
+#                the flat form;
+#   "gumbel"  -- argmax(logits + Gumbel noise): fewest materialized
+#                tensors but pays per-candidate threefry noise generation
+#                (VPU-bound; loses at the headline batch sizes, wins in
+#                the 16k-chain and 2x50k-comp regimes).
+# All three sample the identical categorical distribution; keyed outputs
+# differ per key across modes (no trace contract on the keyed path --
+# PARITY.md "keyed reproducibility").  Replay mode (rand_u=) ALWAYS uses
+# the flat CDF form regardless of this flag.
+#
+# The default "size" routes per problem from the measured (width x chains)
+# winner grid (tools/ab_select_grid.py + ab_gumbel.py + ab_sweeps.py
+# b-select-sweep, real chip 2026-08-20, interleaved best-of-rounds):
+# cdf wins the small/headline regime (2x1000 comps at <=4096 chains,
+# batched B<=7); gumbel wins the broad middle (1.3-2.5x: >=8192-wide
+# leaves, chains*width >= ~8M, and batched B>=8 where the cdf cumsum's
+# temp buffers spill); blocked wins very-wide/few-chain products (2.06x
+# at 2x50,000 comps x 256 chains).  Set to one of the modes to force it.
+GIBBS_SELECT: str = "size"
+
+# "size" routing thresholds (chain-candidate sizes, from the grid above;
+# boundary cells are within ~1.3x of each other, so the exact split
+# points are low-stakes).
+SELECT_BLOCKED_WIDTH: int = 32768     # leaf width for the blocked form...
+SELECT_BLOCKED_MAX_CHAINS: int = 512  # ...when this few chains (and B=1)
+SELECT_GUMBEL_WIDTH: int = 8192       # leaf width for gumbel
+SELECT_GUMBEL_BATCH: int = 8          # batched sets: cdf spills at B>=8
+SELECT_GUMBEL_WORK: int = 8 << 20     # chains*width for gumbel below that
 
 # -- size-gated HOST fast paths (ops/host_small.py) ---------------------------
 # On the axon remote-TPU runtime every dispatch is a network round trip

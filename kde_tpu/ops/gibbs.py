@@ -354,6 +354,49 @@ def _select_label(u, logits):
     return jnp.clip(z, 0, logits.shape[0] - 1)
 
 
+def _blocked_block_size(w: int) -> int:
+    """Static block size for :func:`_select_label_blocked`: ~sqrt(width),
+    power of two, clamped to [32, 512] (the full-width passes dominate, so
+    the exact split point only has to keep both factor widths small)."""
+    return 1 << max(5, min(9, int(round(math.log2(max(1.0,
+                                                      math.sqrt(w)))))))
+
+
+def _select_label_blocked(u, logits, block: int):
+    """Two-level (blocked) inverse-CDF draw for the KEYED path: the same
+    single-uniform draw as :func:`_select_label`, restructured so no
+    full-width prefix sum is ever computed.
+
+    XLA lowers ``cumsum`` over the candidate axis to a log-depth prefix
+    network -- O(log w) full passes over the [chains, w] tensor once the
+    chain kernel is vmapped -- which round-5 memory analysis shows is what
+    actually grows the compiled program's temp footprint superlinearly in
+    the batch (25->158 MB from B=4 to B=8, the round-4 "B=8 spill").  Here
+    the width is split as ``w = nb x block``: one full pass builds the
+    block sums, a cheap [nb] scan picks the block, and a [block]-wide scan
+    of the dynamically-sliced block resolves the index -- in exact
+    arithmetic the identical index to the flat scan for the same ``u``
+    (the flat CDF decomposes as block prefix + in-block prefix), differing
+    only on ulp-wide CDF-boundary ties, which is why replay mode (the
+    trace-exact contract, PARITY.md) always keeps :func:`_select_label`.
+    The degenerate fallback composes unchanged (0/-inf logits -> equal
+    block masses -> the same uniform draw).  Consumes exactly one uniform
+    from the same stream slot as the flat form."""
+    w = logits.shape[0]
+    nb = -(-w // block)
+    e = jnp.exp(logits - jnp.max(logits))
+    e2 = jnp.pad(e, (0, nb * block - w)).reshape(nb, block)
+    s = jnp.sum(e2, axis=1)                                   # [nb]
+    c = jnp.cumsum(s)
+    t = u * c[-1]
+    b = jnp.clip(jnp.sum((c < t).astype(jnp.int32)), 0, nb - 1)
+    r = t - (c[b] - s[b])                  # mass entering block b
+    eb = jax.lax.dynamic_slice_in_dim(e2, b, 1, axis=0)[0]    # [block]
+    zin = jnp.sum((jnp.cumsum(eb) < r).astype(jnp.int32))
+    zin = jnp.clip(zin, 0, block - 1)
+    return jnp.clip(b * block + zin, 0, w - 1).astype(jnp.int32)
+
+
 def _select_label_gumbel(key, logits):
     """Gumbel-max categorical draw for the KEYED path: ``argmax(logits + G)``
     with iid Gumbel noise samples the same softmax(logits) distribution as
@@ -437,10 +480,10 @@ def _gibbs_from_key(key, lvl_arrays, t_mean, t_bw, mask, *,
     # sample *identity* is still only guaranteed within one build AND one
     # `select` mode -- the contracts across versions/engines are
     # distributional equality and replay mode.
-    if select == "cdf":
-        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
-    else:
+    if select == "gumbel":
         u = jax.random.split(ku, n_out)          # [n_out, 2] chain keys
+    else:                                        # cdf/blocked: same stream
+        u = jax.random.uniform(ku, (n_out, bu), dtype=dtype)
     n_ = jax.random.normal(kn, (n_out, bn), dtype=dtype)
 
     def chain(u_row, n_row):
@@ -492,13 +535,13 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
     # stream cursors (static layout)
     #   uniforms: [ndens init] ++ per level ([ndens cond] ++ [n_iter*ndens gibbs])
     #   normals:  [(n_levels+1) * ndim]
-    if select == "cdf":
+    if select == "gumbel":      # gumbel: u_row IS this chain's PRNG key
+        chain_key = u_row
+    else:                        # cdf/blocked: the uniform stream
         u_cond = u_row[ndens:].reshape(n_levels,
                                        (1 + n_iter) * ndens)[:, :ndens]
         u_gibbs = (u_row[ndens:].reshape(n_levels, (1 + n_iter) * ndens)
                    [:, ndens:].reshape(n_levels, n_iter, ndens))
-    else:                       # gumbel: u_row IS this chain's PRNG key
-        chain_key = u_row
     normals = n_row.reshape(n_levels + 1, ndim)
 
     # initial selection: every tree's root (node 0); its stats are static
@@ -528,6 +571,10 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
         lvl_ms = lvl_ms_cat[:, o:o + w]
         lvl_perm = lvl_perm_cat[:, o:o + w]
         iota_w = jnp.arange(w)
+        # blocked engages only where the full-width prefix sum is material;
+        # narrow levels keep the flat scan (static per-level choice)
+        blk = _blocked_block_size(w)
+        blocked_l = select == "blocked" and w > 128
         # (1) draw X from the product of current selections (:594)
         x = sample_point(mu_sel, var_sel, normals[l - 1], True)
         # (2) levelDown! remap is dead (see docstring); (3) re-select labels
@@ -537,11 +584,14 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
             lambda m, b, lw, a: _kernel_logits(m, b, lw, x, None, a,
                                                diffop, with_cov=False)
         )(lvl_mean, lvl_bw, lvl_logw, act_all)                  # [dn, w]
-        if select == "cdf":
-            zs = jax.vmap(_select_label)(u_cond[l - 1], logits)  # [dn]
-        else:
+        if select == "gumbel":
             zs = _select_label_gumbel(
                 jax.random.fold_in(chain_key, l), logits)        # [dn]
+        elif blocked_l:
+            zs = jax.vmap(lambda uu, lg: _select_label_blocked(uu, lg, blk)
+                          )(u_cond[l - 1], logits)               # [dn]
+        else:
+            zs = jax.vmap(_select_label)(u_cond[l - 1], logits)  # [dn]
         onehot = iota_w[None, :] == zs[:, None]                 # [dn, w]
         sel = jnp.sum(jnp.where(onehot[:, :, None], lvl_ms, 0.0), axis=1)
         mu_sel = jnp.where(mask, sel[:, :ndim], 0.0)
@@ -551,7 +601,7 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
         # (4) Niter sweeps of sequential LOO Gibbs over densities (:604-608)
         def sweep(t, carry, lvl_mean=lvl_mean, lvl_bw=lvl_bw,
                   lvl_logw=lvl_logw, lvl_ms=lvl_ms, lvl_perm=lvl_perm,
-                  iota_w=iota_w, l=l):
+                  iota_w=iota_w, l=l, blk=blk, blocked_l=blocked_l):
             mu_sel, var_sel, perms = carry
             for j in range(ndens):
                 mu, cov = _gauss_product(mu_sel, var_sel, mask, j,
@@ -559,9 +609,7 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                 logits = _kernel_logits(lvl_mean[j], lvl_bw[j],
                                         lvl_logw[j], mu, cov, act_all[j],
                                         diffop, with_cov=True)
-                if select == "cdf":
-                    z = _select_label(u_gibbs[l - 1, t, j], logits)
-                else:
+                if select == "gumbel":
                     # unique static stage id per (level, sweep, density):
                     # levels own ids 1..n_levels for the conditioning
                     # selections, sweeps continue above them
@@ -569,6 +617,11 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
                            + ((l - 1) * n_iter + t) * ndens + j)
                     z = _select_label_gumbel(
                         jax.random.fold_in(chain_key, sid), logits)
+                elif blocked_l:
+                    z = _select_label_blocked(u_gibbs[l - 1, t, j],
+                                              logits, blk)
+                else:
+                    z = _select_label(u_gibbs[l - 1, t, j], logits)
                 nm, nv, perm = select_stats(iota_w == z, lvl_ms[j],
                                             lvl_perm[j], mask[j])
                 mu_sel = mu_sel.at[j].set(nm)
@@ -602,15 +655,38 @@ def _run_chain(u_row, n_row, lvl_arrays, offsets, t_mean, t_bw,
 # public API
 # ---------------------------------------------------------------------------
 
-def resolve_select(select: str) -> str:
-    """Resolve the keyed-path selection mode: ``auto`` reads
-    ``config.GIBBS_SELECT`` at call time (jit static arg -- distinct modes
-    compile distinct executables and coexist in the cache)."""
+def resolve_select(select: str, n_out: Optional[int] = None,
+                   width: Optional[int] = None, batch: int = 1) -> str:
+    """Resolve the keyed-path selection mode (jit static arg -- distinct
+    modes compile distinct executables and coexist in the cache).
+
+    ``auto`` reads ``config.GIBBS_SELECT`` at call time; its default
+    ``"size"`` routes by problem size per the measured winner grid
+    (tools/ab_select_grid.py, real chip 2026-08-20; thresholds in
+    config.SELECT_*): ``blocked`` for very wide leaves with few chains,
+    ``gumbel`` for wide leaves / large chain*width work / batched B >= 8
+    (where the flat cumsum's temp buffers spill), flat ``cdf`` otherwise
+    (it wins the headline regime).  ``n_out``/``width``/``batch`` are the
+    chains, padded leaf width, and batched-set count; with unknown sizes
+    ``size`` falls back to ``cdf``."""
     from .. import config
     if select == "auto":
         select = config.GIBBS_SELECT
-    if select not in ("cdf", "gumbel"):
-        raise ValueError(f"select must be auto|cdf|gumbel, got {select!r}")
+    if select == "size":
+        if n_out is None or width is None:
+            return "cdf"
+        if (width >= config.SELECT_BLOCKED_WIDTH
+                and n_out <= config.SELECT_BLOCKED_MAX_CHAINS
+                and batch == 1):
+            return "blocked"
+        if (width >= config.SELECT_GUMBEL_WIDTH
+                or batch >= config.SELECT_GUMBEL_BATCH
+                or n_out * width >= config.SELECT_GUMBEL_WORK):
+            return "gumbel"
+        return "cdf"
+    if select not in ("cdf", "blocked", "gumbel"):
+        raise ValueError(
+            f"select must be auto|size|cdf|blocked|gumbel, got {select!r}")
     return select
 
 def prod_appx_ms_gibbs(npd0,
@@ -654,11 +730,16 @@ def prod_appx_ms_gibbs(npd0,
       plan: ``auto`` (device-built level hierarchy for device-resident
         densities, host ball tree otherwise), ``host``, or ``device``
         (ops/device_plan.py).
-      select: keyed-path label-selection arithmetic -- ``auto`` (the
-        measured default, ``config.GIBBS_SELECT``), ``cdf`` (the
-        reference-shaped inverse-CDF chain), or ``gumbel``
-        (argmax(logits+G); distributionally identical, fewer materialized
-        stages).  Replay mode always uses ``cdf`` (trace contract).
+      select: keyed-path label-selection arithmetic -- ``auto`` (reads
+        ``config.GIBBS_SELECT``; its default ``"size"`` routes to the
+        measured per-regime winner, see :func:`resolve_select`), ``cdf``
+        (the reference-shaped flat inverse-CDF chain), ``blocked`` (the
+        same single-uniform inverse-CDF draw computed
+        block-hierarchically -- no full-width prefix sum;
+        exact-arithmetic-identical index, ulp ties may differ), or
+        ``gumbel`` (argmax(logits+G); distributionally identical
+        categorical).  Replay mode always uses the flat ``cdf`` form
+        (trace contract).
 
     Returns ``(points [d, Np], indices [ndens, Np])`` -- 0-based kernel
     labels -- plus ``labels [Np, ndens, n_levels]`` if ``record_labels``.
@@ -709,7 +790,8 @@ def prod_appx_ms_gibbs(npd0,
             n_iter=n_iter, ndens=dn, ndim=d, n_levels=n_levels,
             addop=addop_t, diffop=diffop_t, get_mu=get_mu_t,
             get_lambda=get_lambda_t, add_entropy=add_entropy,
-            dtype=jnp.dtype(dtype).name, select=resolve_select(select))
+            dtype=jnp.dtype(dtype).name,
+            select=resolve_select(select, n_out, plan.offsets[-1][1]))
         out = (pts_t, idx_t)
         if record_labels:
             out = out + (labels_t,)
@@ -1047,7 +1129,9 @@ class BatchedProductSampler:
             ndens=self.ndens, ndim=self.ndim, n_levels=self.n_levels,
             addop=addop, diffop=diffop, get_mu=get_mu,
             get_lambda=get_lambda, add_entropy=self.add_entropy,
-            dtype=self._dtype_name, select=resolve_select(select))
+            dtype=self._dtype_name,
+            select=resolve_select(select, self.n_out, self.offsets[-1][1],
+                                  batch=self.B))
         return pts, idx
 
 
@@ -1100,5 +1184,6 @@ class ProductSampler:
             ndim=p.ndim, n_levels=p.n_levels, addop=addop, diffop=diffop,
             get_mu=get_mu, get_lambda=get_lambda,
             add_entropy=self.add_entropy,
-            dtype=jnp.dtype(self.dtype).name, select=resolve_select(select))
+            dtype=jnp.dtype(self.dtype).name,
+            select=resolve_select(select, self.n_out, p.offsets[-1][1]))
         return pts_t, idx_t

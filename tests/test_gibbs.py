@@ -262,15 +262,130 @@ def test_gumbel_batched_and_sampler_paths():
     assert np.all(np.asarray(bidx) >= 0) and np.all(np.asarray(bidx) < 64)
 
 
+def test_blocked_select_matches_flat_exact():
+    """The blocked two-level inverse-CDF draw returns the IDENTICAL index
+    to the flat scan for the same uniform (exact-arithmetic identity; in
+    f64 the ulp-wide tie window never fires across this grid), including
+    -inf padding lanes and the 0/-inf degenerate-fallback shape
+    (kde_tpu/ops/gibbs.py::_select_label_blocked)."""
+    import jax.numpy as jnp
+    from kde_tpu.ops.gibbs import (_blocked_block_size, _select_label,
+                                   _select_label_blocked)
+    rng = np.random.default_rng(0)
+    us = jnp.asarray(rng.uniform(size=(2000,)), jnp.float64)
+    for w in (129, 200, 1000, 4096):
+        blk = _blocked_block_size(w)
+        logits = jnp.asarray(rng.normal(size=(w,)) * 3, jnp.float64)
+        zf = jax.vmap(lambda u: _select_label(u, logits))(us)
+        zb = jax.vmap(lambda u: _select_label_blocked(u, logits, blk))(us)
+        np.testing.assert_array_equal(np.asarray(zf), np.asarray(zb))
+    # -inf padding lanes are never selected
+    logits = jnp.concatenate([jnp.asarray(rng.normal(size=(300,))),
+                              jnp.full((700,), -jnp.inf)])
+    zf = jax.vmap(lambda u: _select_label(u, logits))(us)
+    zb = jax.vmap(lambda u: _select_label_blocked(u, logits, 32))(us)
+    np.testing.assert_array_equal(np.asarray(zf), np.asarray(zb))
+    assert int(np.max(np.asarray(zb))) < 300
+    # degenerate-fallback logits (0 real / -inf padding): uniform draw
+    logits = jnp.where(jnp.arange(1000) < 600, 0.0, -jnp.inf)
+    zb = np.asarray(jax.vmap(
+        lambda u: _select_label_blocked(u, logits, 32))(us))
+    assert zb.max() < 600
+    assert np.abs(zb.mean() - 299.5) < 3 * 600 / np.sqrt(12 * len(zb))
+
+
+def test_blocked_keyed_product_identical_to_cdf():
+    """select='blocked' consumes the same uniform stream slot per
+    selection as the flat CDF, so in f64 the whole keyed product is
+    label- and point-identical to select='cdf' for the same key (the
+    blocked form is the same draw, restructured)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    dens = [kde(rng.normal(size=(2, 300)), [0.2], dtype=jnp.float64),
+            kde(rng.normal(size=(2, 300)) + 0.5, [0.2], dtype=jnp.float64)]
+    k = jax.random.PRNGKey(7)
+    pc, ic = prod_appx_ms_gibbs(200, dens, n_iter=3, key=k, select="cdf")
+    pb, ib = prod_appx_ms_gibbs(200, dens, n_iter=3, key=k,
+                                select="blocked")
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ib))
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(pb))
+
+
+def test_blocked_degenerate_fallback_uniform():
+    """Far-apart densities: the blocked path's fallback is the uniform
+    candidate draw (src/MSGibbs01.jl:311-315), like both other modes."""
+    rng = np.random.default_rng(47)
+    n = 256                       # leaf width > 128 engages the blocked form
+    dens = [kde(rng.normal(size=(1, n)), [0.1]),
+            kde(rng.normal(size=(1, n)) + 1000.0, [0.1])]
+    pts, idx = prod_appx_ms_gibbs(512, dens, n_iter=2,
+                                  key=jax.random.PRNGKey(5),
+                                  select="blocked")
+    assert np.all(np.isfinite(np.asarray(pts)))
+    counts = np.bincount(np.asarray(idx)[0], minlength=n)
+    assert (counts > 0).sum() > n * 0.5, counts
+
+
+def test_blocked_batched_and_sampler_paths():
+    rng = np.random.default_rng(48)
+    dens = [kde(rng.normal(size=(2, 200)), [0.4]) for _ in range(2)]
+    s = ProductSampler(dens, n_out=64, n_iter=2)
+    g1, i1 = s.sample(9, select="blocked")
+    g2, _ = s.sample(9, select="blocked")
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    # f64 CPU: sampler path also label-identical to cdf for the same key
+    _, icdf = s.sample(9, select="cdf")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(icdf))
+    b = BatchedProductSampler([dens, dens], n_out=32, n_iter=2)
+    bg, bidx = b.sample(9, select="blocked")
+    assert np.asarray(bg).shape == (2, 2, 32)
+    assert np.all(np.isfinite(np.asarray(bg)))
+    assert np.all(np.asarray(bidx) >= 0) and np.all(np.asarray(bidx) < 200)
+
+
 def test_select_auto_reads_config():
     import pytest
     from kde_tpu import config
     from kde_tpu.ops.gibbs import resolve_select
-    assert resolve_select("auto") == config.GIBBS_SELECT
+    assert config.GIBBS_SELECT == "size"     # measured default (r5 grid)
     assert resolve_select("cdf") == "cdf"
+    assert resolve_select("blocked") == "blocked"
     assert resolve_select("gumbel") == "gumbel"
     with pytest.raises(ValueError):
         resolve_select("bogus")
+    old = config.GIBBS_SELECT
+    try:
+        config.GIBBS_SELECT = "gumbel"       # forcing a mode still works
+        assert resolve_select("auto", 1000, 1024) == "gumbel"
+    finally:
+        config.GIBBS_SELECT = old
+
+
+def test_select_size_routing():
+    """The 'size' routing reproduces the measured winner grid
+    (tools/ab_select_grid.py + ab_gumbel.py + ab_sweeps.py b-select-sweep,
+    real chip 2026-08-20) at every measured cell."""
+    from kde_tpu.ops.gibbs import resolve_select
+    r = resolve_select
+    # unknown sizes -> conservative flat cdf
+    assert r("auto") == "cdf"
+    # headline regime: cdf
+    assert r("auto", 1000, 1024) == "cdf"
+    assert r("auto", 1024, 1000) == "cdf"
+    assert r("auto", 4096, 1024) == "cdf"
+    assert r("auto", 1024, 4096) == "cdf"
+    assert r("auto", 256, 4096) == "cdf"
+    # broad middle: gumbel
+    assert r("auto", 16384, 1024) == "gumbel"      # 1.42x measured
+    assert r("auto", 4096, 4096) == "gumbel"       # 1.86x
+    assert r("auto", 256, 12288) == "gumbel"       # 1.30x
+    assert r("auto", 1024, 12288) == "gumbel"      # 1.46x
+    assert r("auto", 1024, 50000) == "gumbel"      # 2.50x
+    # very wide, few chains: blocked
+    assert r("auto", 256, 50000) == "blocked"      # 2.06x
+    # batched sets: cdf up to B=7, gumbel at B>=8 (cdf temp spill)
+    assert r("auto", 1000, 1024, batch=6) == "cdf"
+    assert r("auto", 1000, 1024, batch=8) == "gumbel"
 
 
 def test_batched_refresh_keeps_masks():

@@ -1,13 +1,20 @@
-"""Real-TPU A/B: Gumbel-max vs inverse-CDF label selection on the KEYED
-Gibbs product path (VERDICT r4 #1 -- the last unmet BASELINE target).
+"""Real-TPU A/B of the KEYED-path label-selection arithmetics
+(VERDICT r4 #1 -- the last unmet BASELINE target):
 
-The CDF selection chain materializes ~6 [chains, n_l] tensors per label
-selection (logits, exp, normalize, cumsum, compare, count) across ~120
-sequential stages; Gumbel-max (argmax(logits + G), ops/gibbs.py::
-_select_label_gumbel) replaces them with one fused noise-add and one
-argmax.  The keyed path has no trace contract (PARITY.md "keyed
-reproducibility"), so any distributionally-exact draw is legal; replay
-mode keeps the CDF form.
+  cdf      flat normalize/cumsum/count inverse-CDF chain -- ~6
+           materialized [chains, n_l] tensors per selection, and the
+           cumsum's log-depth lowering grows the compiled temp footprint
+           superlinearly in the batch (the round-4 "B=8 spill");
+  blocked  the SAME single-uniform inverse-CDF draw, block-hierarchical
+           (block sums -> pick block -> resolve within the dynamically
+           sliced block; ops/gibbs.py::_select_label_blocked) -- no
+           full-width prefix sum, exact-arithmetic-identical index;
+  gumbel   argmax(logits + G) (ops/gibbs.py::_select_label_gumbel) --
+           fewest tensors, but per-candidate threefry noise (VPU-bound).
+
+The keyed path has no trace contract (PARITY.md "keyed reproducibility"),
+so any distributionally-exact draw is legal; replay mode keeps the flat
+CDF form.
 
 Regimes (completion-forced, INTERLEAVED rounds so congestion episodes hit
 both arms equally; best-of-N per arm; honest queue depths per
@@ -71,30 +78,27 @@ def main(quick=False):
             kde(rng.normal(size=(2, N_COMP)) + 0.5, [0.1],
                 dtype=jnp.float32)]
 
+    selects = ("cdf", "blocked", "gumbel")
+
+    def arms(sampler):
+        return {sel: (lambda s, sel=sel: sampler.sample(
+            jax.random.PRNGKey(s), select=sel)[0]) for sel in selects}
+
     # 1. single product at honest queue depth
     s1 = ProductSampler(dens, n_out=N_OUT, n_iter=N_ITER)
-    interleaved("single 2x1000", {
-        "cdf": lambda s: s1.sample(jax.random.PRNGKey(s), select="cdf")[0],
-        "gumbel": lambda s: s1.sample(jax.random.PRNGKey(s),
-                                      select="gumbel")[0],
-    }, reps=48, rounds=rounds, per_call=N_OUT)
+    interleaved("single 2x1000", arms(s1), reps=48, rounds=rounds,
+                per_call=N_OUT)
 
     # 2. 16k chains
     s2 = ProductSampler(dens, n_out=16_384, n_iter=N_ITER)
-    interleaved("16k chains", {
-        "cdf": lambda s: s2.sample(jax.random.PRNGKey(s), select="cdf")[0],
-        "gumbel": lambda s: s2.sample(jax.random.PRNGKey(s),
-                                      select="gumbel")[0],
-    }, reps=12, rounds=rounds, per_call=16_384)
+    interleaved("16k chains", arms(s2), reps=12, rounds=rounds,
+                per_call=16_384)
 
     # 3. batched-sets headline, B=6
     B = 6
     s3 = BatchedProductSampler([dens] * B, n_out=N_OUT, n_iter=N_ITER)
-    interleaved("batched B=6", {
-        "cdf": lambda s: s3.sample(jax.random.PRNGKey(s), select="cdf")[0],
-        "gumbel": lambda s: s3.sample(jax.random.PRNGKey(s),
-                                      select="gumbel")[0],
-    }, reps=80, rounds=rounds, per_call=B * N_OUT)
+    interleaved("batched B=6", arms(s3), reps=80, rounds=rounds,
+                per_call=B * N_OUT)
 
     # 4. scale row: 2x50k comps (HBM-bound regime)
     n_big = 50_000
@@ -103,19 +107,20 @@ def main(quick=False):
            kde((rng.normal(size=(2, n_big)) + 0.5).astype(np.float32),
                [float(1.06 * n_big ** -0.2)], dtype=jnp.float32)]
     s4 = ProductSampler(big, n_out=256, n_iter=N_ITER)
-    interleaved("scale 2x50k", {
-        "cdf": lambda s: s4.sample(jax.random.PRNGKey(s), select="cdf")[0],
-        "gumbel": lambda s: s4.sample(jax.random.PRNGKey(s),
-                                      select="gumbel")[0],
-    }, reps=12, rounds=max(4, rounds // 2), per_call=256)
+    interleaved("scale 2x50k", arms(s4), reps=12,
+                rounds=max(4, rounds // 2), per_call=256)
 
     # 5. distributional sanity on the real chip: leaf-label histograms
     n_chk = 8192
     s5 = ProductSampler(dens, n_out=n_chk, n_iter=N_ITER)
     _, ic = s5.sample(jax.random.PRNGKey(123), select="cdf")
     _, ig = s5.sample(jax.random.PRNGKey(321), select="gumbel")
+    _, ibk = s5.sample(jax.random.PRNGKey(123), select="blocked")
     hc = np.bincount(np.asarray(ic)[0], minlength=N_COMP) / n_chk
     hg = np.bincount(np.asarray(ig)[0], minlength=N_COMP) / n_chk
+    same_key_agree = float(np.mean(np.asarray(ic) == np.asarray(ibk)))
+    print(f"[dist] same-key label agreement cdf vs blocked (f32, real "
+          f"chip): {same_key_agree:.4f}", flush=True)
     tv = 0.5 * np.abs(hc - hg).sum()
     # expected TV between two independent n_chk-draw histograms of the
     # same categorical ~ sum_k sqrt(2 p_k (1-p_k) / (pi * n/2)); just pin a
