@@ -12,10 +12,12 @@ from .product import (initialize_multihost, prod_appx_ms_gibbs_sharded,
 from .gibbs_kernel_sharded import prod_appx_ms_gibbs_kernel_sharded
 from .eval import (ksize_bandwidths_sharded, sharded_log_eval,
                    sharded_loo_entropy)
+from .sizing import estimate_product_memory, recommend_shards
 
 __all__ = [
     "CHAINS", "KERNELS", "make_mesh", "make_mesh_2d",
     "initialize_multihost", "prod_appx_ms_gibbs_sharded", "product_sharded",
     "prod_appx_ms_gibbs_kernel_sharded",
     "ksize_bandwidths_sharded", "sharded_log_eval", "sharded_loo_entropy",
+    "estimate_product_memory", "recommend_shards",
 ]

@@ -221,3 +221,27 @@ def test_kernel_sharded_degenerate_far_apart():
     np.testing.assert_array_equal(np.asarray(lab_k), lab_s)
     np.testing.assert_allclose(np.asarray(pts_k), pts_s, rtol=1e-9,
                                atol=1e-12)
+
+
+def test_sizing_recommends_engine():
+    """The routing rule (parallel/sizing.py, VERDICT r4 #7): XLA's own
+    compile-time accounting sizes the exact keyed executable, the shard
+    count is ceil(bytes/budget), and bigger products report more bytes."""
+    from kde_tpu.parallel import estimate_product_memory, recommend_shards
+    rng = np.random.default_rng(0)
+    small = [kde(rng.normal(size=(2, 128)).astype(np.float32), [0.2],
+                 dtype="float32") for _ in range(2)]
+    big = [kde(rng.normal(size=(2, 1024)).astype(np.float32), [0.2],
+               dtype="float32") for _ in range(2)]
+    m_small = estimate_product_memory(small, n_out=64, n_iter=2)
+    m_big = estimate_product_memory(big, n_out=64, n_iter=2)
+    assert m_big["total"] > m_small["total"] > 0
+    assert m_small["select"] == "cdf"          # size routing at tiny shapes
+    # fits-one-chip -> plain engine
+    r = recommend_shards(small, n_out=64, n_iter=2, mem=m_small)
+    assert r == {"shards": 1, "engine": "plain", "bytes": m_small["total"],
+                 "budget": r["budget"], "select": "cdf"}
+    # force a tiny budget: ceil division drives the shard count
+    r2 = recommend_shards(big, n_out=64, n_iter=2, mem=m_big,
+                          hbm_budget=max(1, m_big["total"] // 3))
+    assert r2["engine"] == "kernel-sharded" and r2["shards"] >= 3
