@@ -353,8 +353,14 @@ def main():
                 "unit": unit, "vs_baseline": round(arm["rate"] / cpu_rate_, 2),
                 "reps": arm["reps"]}
 
-    results.append(row("2D product 2x50000-comp Niter=5 (scale envelope)",
-                       arm_big, cpu_big))
+    results.append({**row("2D product 2x50000-comp Niter=5 (scale envelope)",
+                          arm_big, cpu_big),
+                    # round-5 semantics note: select='auto' size-routes this
+                    # row to the blocked inverse-CDF form (2.06x the flat
+                    # chain it used through round 4 -- BASELINE.md round-5
+                    # study), so BENCH_r05+ values are not comparable to
+                    # earlier rounds' for this row.
+                    "select": "blocked(auto)"})
     results.append({
         "metric": "1D LOOCV fit+eval+resample (N=100, README cfg 1)",
         "value": round(rate1, 2), "unit": "flows/s",
